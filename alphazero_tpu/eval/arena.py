@@ -1,0 +1,136 @@
+"""Vectorized arena: head-to-head matches between agents.
+
+Replaces the reference's one-game-at-a-time Arena (Arena.py:64-227) with a
+batched runner: B games advance in lockstep; each seat is controlled by an
+"agent" callable acting on the whole batch at once.  Seat fairness is achieved
+by running the seat-permuted halves as separate sub-batches (the reference
+alternates '1 2 2 1' across sequential games, Arena.py:195-202)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..games.splendor import env as E
+
+# Agent: (canonical_states [B,R,7] int8, key) -> actions [B] int32
+Agent = Callable[[jnp.ndarray, jax.Array], jnp.ndarray]
+
+
+@dataclasses.dataclass
+class MatchResult:
+    outcomes: np.ndarray      # (B, n) terminal vectors, absolute seats
+    scores: np.ndarray        # (B, n)
+    moves: int
+
+    def tally(self, seat_of_agent: list[int]):
+        """wins per agent index given seat assignment (2-player)."""
+        wins = [0] * len(set(seat_of_agent))
+        draws = 0
+        for r in self.outcomes:
+            top = np.flatnonzero(r > 0)
+            if len(top) == 1:
+                wins[seat_of_agent[top[0]]] += 1
+            else:
+                draws += 1
+        return wins, draws
+
+
+class BatchArena:
+    def __init__(self, env_cfg: E.SplendorConfig, batch_size: int):
+        self.cfg = env_cfg
+        self.B = batch_size
+        cfg = env_cfg
+
+        def _init(key):
+            return jax.vmap(lambda k: E.initial_state(cfg, k))(
+                jax.random.split(key, batch_size))
+
+        def _canon(states, player):
+            return jax.vmap(lambda s: E.swap_players(cfg, s, player))(states)
+
+        def _step(states, actions, player, key):
+            u = jax.random.uniform(key, (batch_size, 2))
+            s2, nxt = jax.vmap(
+                lambda s, a, uu: E.step(cfg, s, a, player, uu, False)
+            )(states, actions, u)
+            return s2, nxt[0]
+
+        self.init = jax.jit(_init)
+        self.canon = jax.jit(_canon)
+        self.step = jax.jit(_step)
+        self.ends = jax.jit(jax.vmap(lambda s: E.check_end_game(cfg, s)))
+        self.scores = jax.jit(jax.vmap(lambda s: E.all_scores(cfg, s)))
+        self.valids = jax.jit(jax.vmap(lambda s: E.valid_moves(cfg, s, 0)))
+
+    def play(self, agents: list[Agent], key, start_states=None,
+             start_player: int = 0) -> MatchResult:
+        """agents[p] acts for seat p. All B games run to completion."""
+        cfg, B = self.cfg, self.B
+        key, k0 = jax.random.split(key)
+        states = self.init(k0) if start_states is None else start_states
+        player = start_player
+        done = np.zeros(B, bool)
+        outcomes = np.zeros((B, cfg.num_players), np.float32)
+        moves = 0
+        for _ in range(cfg.max_moves + 1):
+            canon = self.canon(states, player)
+            key, ka, ku = jax.random.split(key, 3)
+            actions = agents[player](canon, ka)
+            states, nxt = self.step(states, actions, player, ku)
+            player = int(nxt)
+            moves += 1
+            ends = np.asarray(self.ends(states))
+            newly = ends.any(1) & ~done
+            outcomes[newly] = ends[newly]
+            done |= newly
+            if done.all():
+                break
+        if not done.all():
+            ends = np.asarray(self.ends(states))
+            outcomes[~done] = ends[~done]
+        return MatchResult(outcomes=outcomes,
+                           scores=np.asarray(self.scores(states)),
+                           moves=moves)
+
+
+def make_search_agent(search_fn, params_bundle, temp: float = 0.0) -> Agent:
+    """Greedy (temp=0) agent over a jitted batched search — the reference's
+    pit/gating player (Coach.py:152-153, pit.py:88-91)."""
+    def agent(canon, key):
+        res = search_fn(params_bundle, canon, key)
+        if temp <= 1e-6:
+            return jnp.argmax(res.counts, axis=-1)
+        logits = jnp.log(jnp.maximum(res.counts, 1e-12)) / temp
+        g = jax.random.gumbel(key, res.counts.shape)
+        return jnp.argmax(logits + g, axis=-1)
+    return agent
+
+
+def make_random_agent(valids_fn) -> Agent:
+    """Uniform random over valid moves (reference SplendorPlayers.py:18-25)."""
+    def agent(canon, key):
+        v = valids_fn(canon)
+        g = jax.random.gumbel(key, v.shape)
+        return jnp.argmax(jnp.where(v, g, -jnp.inf), axis=-1)
+    return agent
+
+
+def two_player_gate(env_cfg, search_fn, new_bundle, old_bundle, games: int,
+                    key) -> tuple[int, int, int]:
+    """Arena gating: play ``games`` split into both seat orders.
+    Returns (new_wins, old_wins, draws) (reference Coach.py:152-156)."""
+    half = max(games // 2, 1)
+    arena = BatchArena(env_cfg, half)
+    new_agent = make_search_agent(search_fn, new_bundle)
+    old_agent = make_search_agent(search_fn, old_bundle)
+    k1, k2 = jax.random.split(key)
+    r1 = arena.play([new_agent, old_agent], k1)
+    r2 = arena.play([old_agent, new_agent], k2)
+    w1, d1 = r1.tally([0, 1])
+    w2, d2 = r2.tally([1, 0])
+    return w1[0] + w2[0], w1[1] + w2[1], d1 + d2

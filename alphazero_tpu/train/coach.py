@@ -1,0 +1,202 @@
+"""Self-play -> train -> arena-gate orchestrator.
+
+The reference Coach (Coach.py:102-162) drives numIters iterations of
+(numEps sequential episodes -> history trim -> train -> arena gate at
+updateThreshold).  Here every stage is batched on device; the host only
+orchestrates and owns the replay buffer."""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..eval import arena as AR
+from ..games.splendor import adapter as A
+from ..games.splendor import env as E
+from ..models import splendor_net as N
+from ..search import mcts as M
+from ..utils import checkpoint as CKPT
+from . import selfplay as SP
+from . import trainer as TR
+from .replay import ReplayBuffer
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class CoachConfig:
+    num_players: int = 2
+    num_iters: int = 50
+    games_per_iter: int = 128            # numEps
+    selfplay_batch: int = 128
+    num_sims: int = 100
+    ratio_full: int = 5
+    prob_full: float = 0.25
+    temp_threshold: int = 10
+    cpuct: float = 1.0
+    fpu: float = 0.0
+    forced_playouts: bool = False
+    dirichlet_alpha: float = 0.2
+    prior_temp: float = 1.25
+    # training
+    learn_rate: float = 3e-4
+    vl_weight: float = 10.0
+    batch_size: int = 32
+    epochs: int = 2
+    surprise_weight: bool = False
+    dropout: float = 0.3
+    nn_version: int = 1
+    history: int = 5                      # numItersHistory
+    max_examples_per_iter: int = 400_000
+    # gating
+    update_threshold: float = 0.6
+    arena_games: int = 30
+    gate_num_sims: int = 0                # 0 -> num_sims
+    checkpoint_dir: str = "./checkpoints"
+    seed: int = 0
+
+
+class Coach:
+    def __init__(self, cfg: CoachConfig):
+        self.cfg = cfg
+        self.env_cfg = E.SplendorConfig(num_players=cfg.num_players)
+        self.net_cfg = A.net_config_for(self.env_cfg, dropout=cfg.dropout,
+                                        nn_version=cfg.nn_version)
+        self.eval_fn = A.make_eval_fn(self.net_cfg)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.np_rng = np.random.default_rng(cfg.seed)
+
+        self.key, k_init = jax.random.split(self.key)
+        self.train_state = TR.init_train_state(self.net_cfg, k_init)
+        self.train_cfg = TR.TrainConfig(
+            learn_rate=cfg.learn_rate, vl_weight=cfg.vl_weight,
+            batch_size=cfg.batch_size, epochs=cfg.epochs)
+        self.train_step = TR.make_train_step(self.env_cfg, self.net_cfg,
+                                             self.train_cfg)
+
+        sp_cfg = SP.SelfPlayConfig(
+            batch_size=cfg.selfplay_batch, num_sims=cfg.num_sims,
+            ratio_full=cfg.ratio_full, prob_full=cfg.prob_full,
+            temp_threshold=cfg.temp_threshold, cpuct=cfg.cpuct, fpu=cfg.fpu,
+            forced_playouts=cfg.forced_playouts,
+            dirichlet_alpha=cfg.dirichlet_alpha, prior_temp=cfg.prior_temp)
+        self.selfplay = SP.SelfPlayEngine(self.env_cfg, self.eval_fn, sp_cfg)
+
+        gate_sims = cfg.gate_num_sims or cfg.num_sims
+        gate_mcfg = M.MCTSConfig(num_sims=gate_sims, cpuct=cfg.cpuct,
+                                 fpu=cfg.fpu)
+        self.gate_search = jax.jit(M.build_search(
+            gate_mcfg, cfg.num_players, self.eval_fn,
+            A.make_search_step_fn(self.env_cfg),
+            A.make_valid_fn(self.env_cfg)))
+
+        self.replay = ReplayBuffer(history=cfg.history,
+                                   max_per_iter=cfg.max_examples_per_iter)
+
+    # ------------------------------------------------------------------ API
+    @property
+    def bundle(self):
+        return (self.train_state.params, self.train_state.batch_stats)
+
+    def self_play_iteration(self):
+        cfg = self.cfg
+        its, stats_acc = [], {"games": 0, "examples": 0, "rollouts": 0}
+        games_done = 0
+        t0 = time.time()
+        while games_done < cfg.games_per_iter:
+            self.key, k = jax.random.split(self.key)
+            it, stats = self.selfplay.run_games(self.bundle, k, self.np_rng)
+            games_done += stats["games"]
+            for s in ("games", "examples", "rollouts"):
+                stats_acc[s] += stats[s]
+            if it is not None:
+                its.append(it)
+        dt = time.time() - t0
+        stats_acc["seconds"] = dt
+        stats_acc["rollouts_per_s"] = stats_acc["rollouts"] / max(dt, 1e-9)
+        if its:
+            from .replay import Iteration
+            merged = Iteration(*(np.concatenate([getattr(i, f) for i in its])
+                                 for f in ("boards", "pi", "winner", "scdiff",
+                                           "valids", "surprise")))
+            self.replay.add_iteration(merged)
+        return stats_acc
+
+    def train_iteration(self):
+        self.key, k = jax.random.split(self.key)
+        self.train_state, metrics = TR.fit(
+            self.train_state, self.train_step, self.replay, self.train_cfg,
+            self.np_rng, k, surprise_weight=self.cfg.surprise_weight)
+        return metrics
+
+    def gate(self, old_bundle) -> tuple[bool, tuple[int, int, int]]:
+        self.key, k = jax.random.split(self.key)
+        nw, ow, dr = AR.two_player_gate(
+            self.env_cfg, self.gate_search, self.bundle, old_bundle,
+            self.cfg.arena_games, k)
+        accept = (nw + ow) > 0 and nw / (nw + ow) >= self.cfg.update_threshold
+        return accept, (nw, ow, dr)
+
+    def learn(self, on_iteration=None):
+        cfg = self.cfg
+        CKPT.save_settings(cfg.checkpoint_dir, dataclasses.asdict(cfg))
+        for it in range(1, cfg.num_iters + 1):
+            log.info("Iter %d: self-play...", it)
+            sp_stats = self.self_play_iteration()
+            log.info("Iter %d: %d examples, %.0f rollouts/s", it,
+                     sp_stats["examples"], sp_stats["rollouts_per_s"])
+            self.replay.save(os.path.join(cfg.checkpoint_dir,
+                                          "checkpoint.examples"))
+
+            # deep-copy: the donated train step will delete the live buffers
+            old_bundle = jax.tree_util.tree_map(
+                lambda x: jax.numpy.array(x, copy=True), self.bundle)
+            CKPT.save_checkpoint(cfg.checkpoint_dir, "temp.pt",
+                                 params=self.train_state.params,
+                                 batch_stats=self.train_state.batch_stats,
+                                 meta=dataclasses.asdict(cfg))
+            metrics = self.train_iteration()
+            log.info("Iter %d: train %s", it, metrics)
+
+            accept, (nw, ow, dr) = self.gate(old_bundle)
+            if accept:
+                log.info("Iter %d: new vs prev %d-%d (%d draws) ACCEPTED",
+                         it, nw, ow, dr)
+                CKPT.save_checkpoint(cfg.checkpoint_dir, f"checkpoint_{it}.pt",
+                                     params=self.train_state.params,
+                                     batch_stats=self.train_state.batch_stats,
+                                     meta=dataclasses.asdict(cfg))
+                CKPT.save_checkpoint(cfg.checkpoint_dir, "best.pt",
+                                     params=self.train_state.params,
+                                     batch_stats=self.train_state.batch_stats,
+                                     meta=dataclasses.asdict(cfg))
+            else:
+                log.info("Iter %d: new vs prev %d-%d (%d draws) REJECTED",
+                         it, nw, ow, dr)
+                ckpt = CKPT.load_checkpoint(cfg.checkpoint_dir, "temp.pt")
+                self.train_state = self.train_state._replace(
+                    params=jax.tree_util.tree_map(
+                        lambda x, ref: jax.numpy.asarray(x), ckpt["params"],
+                        self.train_state.params),
+                    batch_stats=jax.tree_util.tree_map(
+                        lambda x: jax.numpy.asarray(x), ckpt["batch_stats"]))
+            if on_iteration:
+                on_iteration(it, sp_stats, metrics, (nw, ow, dr), accept)
+
+    # --------------------------------------------------------------- resume
+    def load_checkpoint(self, folder, filename):
+        ckpt = CKPT.load_checkpoint(folder, filename)
+        params = CKPT.transfer_partial(ckpt["params"], self.train_state.params)
+        self.train_state = self.train_state._replace(
+            params=jax.tree_util.tree_map(jax.numpy.asarray, params),
+            batch_stats=jax.tree_util.tree_map(jax.numpy.asarray,
+                                               ckpt["batch_stats"]))
+        diff = CKPT.compare_settings(folder, dataclasses.asdict(self.cfg))
+        if diff:
+            log.info("settings changed vs checkpoint: %s", diff)
+        return ckpt.get("meta", {})

@@ -1,0 +1,85 @@
+"""Host-side replay buffer.
+
+Replaces the reference's deque-of-zlib-pickles (Coach.py:100,118-141,
+GenericNNetWrapper.py:326-341) with columnar numpy storage: boards stay int8
+and policies float16, so an example costs ~1.3 kB without per-example
+compression, and whole-iteration slabs transfer to device in one shot."""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Iteration:
+    boards: np.ndarray      # (E, R, 7) int8   canonical
+    pi: np.ndarray          # (E, A) float16
+    winner: np.ndarray      # (E, P) float16
+    scdiff: np.ndarray      # (E, P) int8
+    valids: np.ndarray      # (E, A) bool
+    surprise: np.ndarray    # (E,) float16
+
+    def __len__(self):
+        return len(self.boards)
+
+
+@dataclass
+class ReplayBuffer:
+    """Rolling history of the last ``history`` self-play iterations
+    (reference numItersHistory, Coach.py:133-134)."""
+    history: int = 5
+    max_per_iter: int = 400_000
+    iterations: list = field(default_factory=list)
+
+    def add_iteration(self, it: Iteration):
+        if len(it) > self.max_per_iter:
+            it = Iteration(*(a[: self.max_per_iter] for a in
+                             (it.boards, it.pi, it.winner, it.scdiff,
+                              it.valids, it.surprise)))
+        self.iterations.append(it)
+        while len(self.iterations) > self.history:
+            self.iterations.pop(0)
+
+    def __len__(self):
+        return sum(len(it) for it in self.iterations)
+
+    def _flat(self, name):
+        return np.concatenate([getattr(it, name) for it in self.iterations])
+
+    def sample(self, batch_size: int, rng: np.random.Generator,
+               surprise_weight: bool = False):
+        """Random minibatch across the whole history (reference
+        GenericNNetWrapper.py:70).  With surprise weighting, sampling
+        probability is surprise-proportional plus a uniform floor (repairing
+        the reference's :333-341 intent)."""
+        n = len(self)
+        if surprise_weight:
+            s = self._flat("surprise").astype(np.float64)
+            p = s / max(s.sum(), 1e-9) + 1.0 / n
+            p = p / p.sum()
+            ids = rng.choice(n, size=batch_size, replace=False, p=p)
+        else:
+            ids = rng.choice(n, size=batch_size, replace=False)
+        out = {}
+        for name in ("boards", "pi", "winner", "scdiff", "valids"):
+            out[name] = self._flat(name)[ids]
+        return out
+
+    # ------------------------------------------------------------------ I/O
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump([it.__dict__ for it in self.iterations], f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def load(cls, path: str, history: int = 5, max_per_iter: int = 400_000):
+        buf = cls(history=history, max_per_iter=max_per_iter)
+        with open(path, "rb") as f:
+            for d in pickle.load(f):
+                buf.add_iteration(Iteration(**d))
+        return buf

@@ -1,0 +1,122 @@
+"""Jitted training step: Adam + one-cycle LR, symmetry augmentation on device.
+
+Mirrors the reference train loop semantics (GenericNNetWrapper.py:43-139):
+random minibatches over the replay history, 4-term loss, Adam with a fresh
+OneCycle schedule per train() call (optimizer moments persist across calls).
+The whole step — augmentation, forward, backward, update — is one donated jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..games.splendor import env as E
+from ..games.splendor import symmetry as SYM
+from ..models import splendor_net as N
+from . import losses as L
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learn_rate: float = 3e-4
+    vl_weight: float = 10.0
+    batch_size: int = 32
+    epochs: int = 2
+    augment: bool = True
+
+
+def init_train_state(net_cfg: N.NetConfig, key) -> TrainState:
+    params, batch_stats = N.init_params(net_cfg, key)
+    tx = optax.scale_by_adam()
+    return TrainState(params, batch_stats, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_train_step(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
+                    cfg: TrainConfig):
+    tx = optax.scale_by_adam()
+    sym_fn = SYM.batched_random_symmetry(env_cfg) if cfg.augment else None
+
+    def train_step(state: TrainState, batch, lr, key):
+        k_sym, k_drop = jax.random.split(key)
+        boards, pi_t, valids = batch["boards"], batch["pi"], batch["valids"]
+        if cfg.augment:
+            boards, pi_t, valids = sym_fn(k_sym, boards, pi_t, valids)
+        boards = boards.astype(jnp.float32)
+        pi_t = pi_t.astype(jnp.float32)
+        targets = {
+            "pi": pi_t,
+            "v": batch["winner"].astype(jnp.float32),
+            "scdiff": L.scdiff_targets(batch["scdiff"].astype(jnp.int32),
+                                       net_cfg.num_scdiffs,
+                                       net_cfg.max_score_diff),
+        }
+
+        def loss_fn(params):
+            outputs, new_bs = N.apply_train(net_cfg, params, state.batch_stats,
+                                            boards, valids, k_drop)
+            loss, metrics = L.total_loss(outputs, targets, cfg.vl_weight)
+            return loss, (new_bs, metrics)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, state.params, updates)
+        return TrainState(new_params, new_bs, new_opt, state.step + 1), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def onecycle_lr(step: int, total_steps: int, peak: float,
+                pct_start: float = 0.3, div_factor: float = 25.0,
+                final_div_factor: float = 1e4) -> float:
+    """Host-side OneCycleLR with cosine annealing (torch defaults, matching
+    the reference's scheduler at GenericNNetWrapper.py:54)."""
+    total_steps = max(total_steps, 2)
+    initial = peak / div_factor
+    final = initial / final_div_factor
+    up = max(int(pct_start * total_steps) - 1, 1)
+    if step <= up:
+        t = step / up
+        return initial + (peak - initial) * 0.5 * (1 - np.cos(np.pi * t))
+    t = min((step - up) / max(total_steps - up - 1, 1), 1.0)
+    return final + (peak - final) * 0.5 * (1 + np.cos(np.pi * t))
+
+
+def fit(train_state: TrainState, train_step_fn, replay, cfg: TrainConfig,
+        rng: np.random.Generator, key, surprise_weight: bool = False,
+        log_every: int = 0):
+    """Run epochs x batches over the replay buffer (reference
+    GenericNNetWrapper.train).  Returns (train_state, last metrics)."""
+    n = len(replay)
+    batch_count = max(n // cfg.batch_size, 1)
+    total = cfg.epochs * batch_count
+    metrics = {}
+    step_i = 0
+    for _ in range(cfg.epochs):
+        for _ in range(batch_count):
+            batch_np = replay.sample(cfg.batch_size, rng,
+                                     surprise_weight=surprise_weight)
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            lr = onecycle_lr(step_i, total, cfg.learn_rate)
+            key, sub = jax.random.split(key)
+            train_state, metrics = train_step_fn(train_state, batch,
+                                                 jnp.float32(lr), sub)
+            step_i += 1
+            if log_every and step_i % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"  train step {step_i}/{total} "
+                      f"loss={m['loss']:.4f} pi={m['pi']:.4f} v={m['v']:.4f}")
+    return train_state, {k: float(v) for k, v in metrics.items()}

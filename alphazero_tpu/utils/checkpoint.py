@@ -1,0 +1,99 @@
+"""Checkpoint I/O with embedded training settings.
+
+Mirrors the reference's checkpoint richness (GenericNNetWrapper.py:185-260,
+Coach.py:144-162): rolling best/temp files, per-iteration snapshots, training
+args embedded (`additional_keys`), and a shape-sliced partial weight transfer
+for cross-architecture warm starts."""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(folder: str, filename: str, *, params, batch_stats,
+                    opt_state=None, meta: dict | None = None):
+    os.makedirs(folder, exist_ok=True)
+    payload = {
+        "params": _to_numpy(params),
+        "batch_stats": _to_numpy(batch_stats),
+        "opt_state": _to_numpy(opt_state) if opt_state is not None else None,
+        "meta": meta or {},
+        "format": "alphazero_tpu.v1",
+    }
+    path = os.path.join(folder, filename)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(folder: str, filename: str) -> dict:
+    path = os.path.join(folder, filename)
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def transfer_partial(loaded_params, target_params):
+    """Min-shape sliced copy per leaf: grow/shrink architectures while keeping
+    overlapping weights (reference load_not_strict,
+    GenericNNetWrapper.py:215-242)."""
+    l_paths = {jax.tree_util.keystr(p): v for p, v in
+               jax.tree_util.tree_flatten_with_path(loaded_params)[0]}
+
+    def merge(path, tgt):
+        key = jax.tree_util.keystr(path)
+        if key not in l_paths:
+            return tgt
+        src = np.asarray(l_paths[key])
+        tgt_np = np.asarray(tgt)
+        if src.shape == tgt_np.shape:
+            return src.astype(tgt_np.dtype)
+        if src.ndim != tgt_np.ndim:
+            return tgt
+        out = tgt_np.copy()
+        slices = tuple(slice(0, min(a, b)) for a, b in zip(src.shape, out.shape))
+        out[slices] = src[slices]
+        return out
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(target_params)
+    merged = [merge(p, v) for p, v in flat]
+    return jax.tree_util.tree_unflatten(treedef, merged)
+
+
+def save_settings(folder: str, settings: dict):
+    """settings.txt snapshot + diff support (reference main.py:53-80)."""
+    os.makedirs(folder, exist_ok=True)
+    path = os.path.join(folder, "settings.json")
+    if os.path.exists(path):
+        import time
+        os.replace(path, path + "." + str(int(time.time())))
+    with open(path, "w") as f:
+        json.dump(settings, f, indent=2, default=str)
+
+
+def compare_settings(folder: str, settings: dict,
+                     ignore=("checkpoint_dir", "num_iters", "load_from")) -> dict:
+    path = os.path.join(folder, "settings.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        prev = json.load(f)
+    diff = {}
+    for k in set(prev) | set(settings):
+        if k in ignore:
+            continue
+        a, b = prev.get(k), settings.get(k)
+        if json.dumps(a, default=str) != json.dumps(b, default=str):
+            diff[k] = (a, b)
+    return diff
