@@ -1,0 +1,110 @@
+"""Training CLI (reference main.py flags, adapted to the batched trainer).
+
+Example:
+    python -m alphazero_tpu.cli.main -m 200 -e 256 -i 5 -C ./results/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from ..train.coach import Coach, CoachConfig
+
+log = logging.getLogger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="alphazero_tpu trainer")
+    p.add_argument("--numIters", "-n", type=int, default=50)
+    p.add_argument("--numPlayers", "-np", type=int, default=2)
+    p.add_argument("--numEps", "-e", type=int, default=500,
+                   help="self-play games per iteration")
+    p.add_argument("--selfplayBatch", type=int, default=0,
+                   help="boards per batched self-play call (0 = numEps)")
+    p.add_argument("--tempThreshold", "-T", type=int, default=10)
+    p.add_argument("--updateThreshold", type=float, default=0.60)
+    p.add_argument("--numMCTSSims", "-m", type=int, default=1600)
+    p.add_argument("--ratio-fullMCTS", type=int, default=5, dest="ratio_full")
+    p.add_argument("--prob-fullMCTS", type=float, default=0.25,
+                   dest="prob_full")
+    p.add_argument("--temperature", "-t", type=float, nargs=2,
+                   default=[1.25, 0.8])
+    p.add_argument("--cpuct", "-c", type=float, default=1.0)
+    p.add_argument("--dirichletAlpha", "-d", type=float, default=0.2)
+    p.add_argument("--fpu", "-f", type=float, default=0.0)
+    p.add_argument("--numItersHistory", "-i", type=int, default=5)
+    p.add_argument("--learn-rate", "-l", type=float, default=3e-4,
+                   dest="learn_rate")
+    p.add_argument("--epochs", "-p", type=int, default=2)
+    p.add_argument("--batch-size", "-b", type=int, default=32,
+                   dest="batch_size")
+    p.add_argument("--nn-version", "-V", type=int, default=1,
+                   dest="nn_version")
+    p.add_argument("--vl-weight", "-v", type=float, default=10.0,
+                   dest="vl_weight")
+    p.add_argument("--forced-playouts", "-F", action="store_true",
+                   dest="forced_playouts")
+    p.add_argument("--surprise-weight", "-W", action="store_true",
+                   dest="surprise_weight")
+    p.add_argument("--checkpoint", "-C", default="./temp/")
+    p.add_argument("--load-folder-file", "-L", default=None,
+                   dest="load_folder_file")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", "-P", action="store_true",
+                   help="run one profiled iteration with jax.profiler")
+    return p
+
+
+def args_to_config(args) -> CoachConfig:
+    arena_games = 30 if args.numEps < 500 else 50     # reference main.py:137
+    return CoachConfig(
+        num_players=args.numPlayers,
+        num_iters=args.numIters,
+        games_per_iter=args.numEps,
+        selfplay_batch=args.selfplayBatch or min(args.numEps, 512),
+        num_sims=args.numMCTSSims,
+        ratio_full=args.ratio_full,
+        prob_full=args.prob_full,
+        temp_threshold=args.tempThreshold,
+        cpuct=args.cpuct,
+        fpu=args.fpu,
+        forced_playouts=args.forced_playouts,
+        dirichlet_alpha=args.dirichletAlpha,
+        prior_temp=args.temperature[0],
+        learn_rate=args.learn_rate,
+        vl_weight=args.vl_weight,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        surprise_weight=args.surprise_weight,
+        nn_version=args.nn_version,
+        history=args.numItersHistory,
+        update_threshold=args.updateThreshold,
+        arena_games=arena_games,
+        checkpoint_dir=args.checkpoint,
+        seed=args.seed,
+    )
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    args = build_parser().parse_args(argv)
+    coach = Coach(args_to_config(args))
+    if args.load_folder_file:
+        import os
+        coach.load_checkpoint(os.path.dirname(args.load_folder_file),
+                              os.path.basename(args.load_folder_file))
+    if args.profile:
+        import jax
+        coach.cfg = CoachConfig(**{**vars(coach.cfg), "num_iters": 1,
+                                   "games_per_iter": coach.cfg.selfplay_batch})
+        with jax.profiler.trace("./jax-trace"):
+            coach.learn()
+        log.info("profile written to ./jax-trace")
+    else:
+        coach.learn()
+
+
+if __name__ == "__main__":
+    main()

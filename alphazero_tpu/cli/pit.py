@@ -1,0 +1,167 @@
+"""Pit CLI: play any two agents against each other (reference pit.py).
+
+Agent specs: ``random``, ``greedy``, ``alphabeta``, ``human``, or a
+checkpoint path (NN+MCTS, search settings auto-restored from the checkpoint
+meta like the reference's additional_keys, pit.py:50-61).
+
+Example:
+    python -m alphazero_tpu.cli.pit random greedy -n 20
+    python -m alphazero_tpu.cli.pit ./temp/best.pt random -n 10 -m 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+class MCTSPlayer:
+    """Single-board player over the batched jitted search (B=1)."""
+
+    def __init__(self, game, bundle, num_sims, cpuct=1.0, fpu=0.0,
+                 temp: float = 0.0):
+        import jax
+        from ..games.splendor import adapter as A
+        from ..search import mcts as M
+        self.game = game
+        self.bundle = bundle
+        self.temp = temp
+        net_cfg = A.net_config_for(game.cfg)
+        self.search = jax.jit(M.build_search(
+            M.MCTSConfig(num_sims=num_sims, cpuct=cpuct, fpu=fpu),
+            game.cfg.num_players, A.make_eval_fn(net_cfg),
+            A.make_search_step_fn(game.cfg), A.make_valid_fn(game.cfg)))
+        self._key = jax.random.PRNGKey(0)
+
+    def play(self, board) -> int:
+        import jax
+        import jax.numpy as jnp
+        self._key, k = jax.random.split(self._key)
+        res = self.search(self.bundle, jnp.asarray(board)[None], k)
+        counts = np.asarray(res.counts)[0]
+        if self.temp <= 1e-6:
+            return int(counts.argmax())
+        p = counts ** (1.0 / self.temp)
+        p = p / p.sum()
+        return int(np.random.default_rng().choice(len(p), p=p))
+
+
+def create_player(spec: str, game, args):
+    """Reference create_player (pit.py:32-93)."""
+    from ..eval import players as P
+    if spec == "random":
+        return P.RandomPlayer(game, seed=args.seed)
+    if spec == "greedy":
+        return P.GreedyPlayer(game, seed=args.seed)
+    if spec == "human":
+        return P.HumanPlayer(game)
+    if spec == "alphabeta":
+        return P.AlphaBetaPlayer(game, depth=args.ab_depth,
+                                 deadline_s=args.ab_deadline)
+    # checkpoint path -> NN + MCTS
+    from ..utils import checkpoint as CKPT
+    ckpt = CKPT.load_checkpoint(os.path.dirname(spec) or ".",
+                                os.path.basename(spec))
+    meta = ckpt.get("meta", {})
+    num_sims = args.numMCTSSims or int(meta.get("num_sims", 200))
+    cpuct = float(meta.get("cpuct", 1.0))
+    fpu = float(meta.get("fpu", 0.0))
+    import jax.numpy as jnp
+    import jax
+    bundle = (jax.tree_util.tree_map(jnp.asarray, ckpt["params"]),
+              jax.tree_util.tree_map(jnp.asarray, ckpt["batch_stats"]))
+    return MCTSPlayer(game, bundle, num_sims, cpuct, fpu)
+
+
+def play_games(game, players, num_games, record_dir=None, verbose=False,
+               rng=None):
+    """Sequential host arena over the Game adapter; seats follow the
+    reference's 1 2 2 1 alternation (Arena.py:195-202).
+    Returns (wins_per_agent, draws, score_sums)."""
+    n = game.getNumberOfPlayers()
+    rng = rng or np.random.default_rng(0)
+    wins = [0] * len(players)
+    draws = 0
+    scores_sum = np.zeros(len(players))
+    pattern = [0, 1, 1, 0]
+    for gi in range(num_games):
+        flip = pattern[gi % 4] if len(players) == 2 else gi % len(players)
+        # agent controlling seat s this game
+        agent_of_seat = [(s - flip) % len(players) for s in range(n)]
+        board = game.getInitBoard()
+        player = 0
+        records = []
+        for move_i in range(game.cfg.max_moves + 1):
+            canon = game.getCanonicalForm(board, player)
+            agent = players[agent_of_seat[player]]
+            a = agent.play(canon)
+            valids = game.getValidMoves(canon, 0)
+            assert valids[a], f"illegal move {a} from agent at seat {player}"
+            if verbose:
+                print(f"move {move_i} P{player}: {game.moveToString(a)}")
+            if record_dir:
+                records.append(board.copy())
+            board, player = game.getNextState(board, player, a)
+            r = game.getGameEnded(board)
+            if r.any():
+                top = np.flatnonzero(r > 0)
+                if len(top) == 1:
+                    wins[agent_of_seat[top[0]]] += 1
+                else:
+                    draws += 1
+                for seat in range(n):
+                    scores_sum[agent_of_seat[seat]] += game.getScore(board, seat)
+                break
+        if record_dir:
+            import pickle
+            os.makedirs(record_dir, exist_ok=True)
+            with open(os.path.join(record_dir, f"game_{gi}.pkl"), "wb") as f:
+                pickle.dump(records + [board], f)
+        log.info("game %d done: wins=%s draws=%d", gi, wins, draws)
+    return wins, draws, scores_sum
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description="pit agents")
+    p.add_argument("players", nargs="+",
+                   help="2+ agent specs: random|greedy|alphabeta|human|ckpt")
+    p.add_argument("--num-games", "-n", type=int, default=10)
+    p.add_argument("--numMCTSSims", "-m", type=int, default=0)
+    p.add_argument("--numPlayers", "-np", type=int, default=2)
+    p.add_argument("--ab-depth", type=int, default=4)
+    p.add_argument("--ab-deadline", type=float, default=10.0)
+    p.add_argument("--record-dir", default=None)
+    p.add_argument("--ratings", default=None,
+                   help="path to a glicko2 JSON book to update")
+    p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    from ..games.game_api import SplendorGame
+    game = SplendorGame(args.numPlayers, seed=args.seed)
+    players = [create_player(s, game, args) for s in args.players]
+    wins, draws, scores = play_games(game, players, args.num_games,
+                                     record_dir=args.record_dir,
+                                     verbose=args.verbose)
+    print(f"result: wins={wins} draws={draws} avg_scores="
+          f"{(scores / max(args.num_games, 1)).round(2).tolist()}")
+
+    if args.ratings and len(players) == 2:
+        from ..eval.glicko2 import RatingBook
+        book = RatingBook.load(args.ratings)
+        total = wins[0] + wins[1] + draws
+        score_a = (wins[0] + 0.5 * draws) / max(total, 1)
+        book.record_match(args.players[0], args.players[1], score_a)
+        book.save()
+        print({k: round(v.rating, 1) for k, v in book.ratings.items()})
+
+
+if __name__ == "__main__":
+    main()

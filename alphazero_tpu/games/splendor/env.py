@@ -113,32 +113,69 @@ _GIVE = jnp.asarray(T.ACTION_GIVE, i32)
 _BANK_REQ = jnp.asarray(T.ACTION_BANK_REQ, i32)
 _XCLASS = jnp.asarray(T.ACTION_XCLASS, i32)
 _CARDS = jnp.asarray(T.ALL_CARDS_PADDED, i8)          # [3,5,8,2,7]
+_CARDS_FLAT = jnp.asarray(
+    T.ALL_CARDS_PADDED.reshape(120, 2, 7), i32)       # [tier*40+color*8+idx]
 _NOBLES = jnp.asarray(T.ALL_NOBLES, i8)               # [10,7]
 _BUYRSV_PERM = jnp.asarray([[2, 3, 4, 5], [0, 1, 4, 5], [0, 1, 2, 3]], i32)
 
 
 # ----------------------------------------------------------------------------
-# Small accessors (all return int32 views)
+# Small accessors (all return int32 views).
+#
+# TPU note: row indices are often traced per-board values (they depend on the
+# action), and under vmap a dynamic_slice at a per-board index lowers to a
+# batched gather/scatter — pathologically slow on TPU.  All row access is
+# therefore expressed as mask-select over the whole (rows, 7) state, which is
+# tiny (<= 102 x 7 int8) and fuses into pure VPU elementwise work.
 # ----------------------------------------------------------------------------
 def _bank(state):
     return state[0, :5].astype(i32)
 
 
+def _read_row(state, row):
+    m = jnp.arange(state.shape[0]) == row
+    return jnp.sum(state.astype(i32) * m[:, None], axis=0)
+
+
+def _read2_rows(state, row):
+    r = jnp.arange(state.shape[0])
+    s32 = state.astype(i32)
+    r0 = jnp.sum(s32 * (r == row)[:, None], axis=0)
+    r1 = jnp.sum(s32 * (r == row + 1)[:, None], axis=0)
+    return r0, r1
+
+
 def _player_gems(cfg, state, p):
-    return jax.lax.dynamic_slice(state, (cfg.row_pgems + p, 0), (1, 7))[0].astype(i32)
+    return _read_row(state, cfg.row_pgems + p)
 
 
 def _player_cards(cfg, state, p):
-    return jax.lax.dynamic_slice(state, (cfg.row_pcards + p, 0), (1, 7))[0].astype(i32)
+    return _read_row(state, cfg.row_pcards + p)
 
 
 def _set_row(state, row, values7):
-    return jax.lax.dynamic_update_slice(state, values7.astype(i8)[None, :], (row, 0))
+    m = (jnp.arange(state.shape[0]) == row)[:, None]
+    return jnp.where(m, values7.astype(i8)[None, :], state)
+
+
+def _set2_rows(state, row, values_2x7):
+    r = jnp.arange(state.shape[0])
+    m0 = (r == row)[:, None]
+    m1 = (r == row + 1)[:, None]
+    vals = (m0 * values_2x7[0].astype(i32)[None]
+            + m1 * values_2x7[1].astype(i32)[None])
+    return jnp.where(m0 | m1, vals.astype(i8), state)
 
 
 def _add_row(state, row, delta7):
-    old = jax.lax.dynamic_slice(state, (row, 0), (1, 7))[0].astype(i32)
-    return _set_row(state, row, old + delta7)
+    m = (jnp.arange(state.shape[0]) == row)[:, None]
+    return (state.astype(i32) + jnp.where(m, delta7[None, :], 0)).astype(i8)
+
+
+def _const_row(table, idx):
+    """Gather table[idx] for a small constant table without a gather op."""
+    m = jnp.arange(table.shape[0]) == idx
+    return jnp.sum(table * m.reshape((-1,) + (1,) * (table.ndim - 1)), axis=0)
 
 
 # ----------------------------------------------------------------------------
@@ -161,13 +198,15 @@ def _draw_deck_card(cfg, state, tier, u0, u1):
     400-420, using the same searchsorted-on-cumsum sampling so parity tests can
     inject identical uniforms).  Returns (state', card[2,7], has_card)."""
     crow = cfg.row_decks + 2 * tier
-    counts = jax.lax.dynamic_slice(state, (crow, 0), (1, 7))[0, :5].astype(i32)
+    crow_full, brow_full = _read2_rows(state, crow)
+    counts = crow_full[:5]
     total = counts.sum()
     has = total > 0
     cum = jnp.cumsum(counts.astype(jnp.float32)) / jnp.maximum(total, 1).astype(jnp.float32)
     color = jnp.clip(jnp.sum((cum <= u0).astype(i32)), 0, 4)
+    col_m = jnp.arange(7) == color
 
-    byte = jax.lax.dynamic_slice(state, (crow + 1, 0), (1, 7))[0, color].astype(jnp.uint8)
+    byte = jnp.sum(brow_full * col_m).astype(jnp.uint8)
     shifts = (7 - jnp.arange(8)).astype(jnp.uint8)
     bits = ((byte >> shifts) & jnp.uint8(1)).astype(i32)
     nb = jnp.maximum(bits.sum(), 1)
@@ -175,16 +214,13 @@ def _draw_deck_card(cfg, state, tier, u0, u1):
     card_idx = jnp.clip(jnp.sum((bcum <= u1).astype(i32)), 0, 7)
 
     new_byte = byte & (~(jnp.uint8(1) << (jnp.uint8(7) - card_idx.astype(jnp.uint8))))
-    card = _CARDS[tier, color, card_idx]
+    flat_idx = tier * 40 + color * 8 + card_idx
+    card = _const_row(_CARDS_FLAT, flat_idx).astype(i8)      # [2, 7]
 
-    new_counts = counts.at[color].add(-1)
-    crow_full = jax.lax.dynamic_slice(state, (crow, 0), (1, 7))[0].astype(i32)
-    crow_full = crow_full.at[:5].set(new_counts)
-    brow_full = jax.lax.dynamic_slice(state, (crow + 1, 0), (1, 7))[0].astype(i32)
-    brow_full = brow_full.at[color].set(new_byte.astype(i8).astype(i32))
-
-    state2 = _set_row(state, crow, crow_full)
-    state2 = _set_row(state2, crow + 1, brow_full)
+    new_crow = jnp.where(col_m, crow_full - 1, crow_full)
+    new_brow = jnp.where(col_m, new_byte.astype(i8).astype(i32), brow_full)
+    state2 = _set_row(state, crow, new_crow)
+    state2 = _set_row(state2, crow + 1, new_brow)
     state2 = jnp.where(has, state2, state)
     return state2, card, has
 
@@ -193,12 +229,11 @@ def _fill_slot(cfg, state, tier, index, deterministic, u0, u1):
     """Clear tier slot and (unless deterministic) refill from the deck
     (reference _fill_new_card, SplendorLogicNumba.py:445-450)."""
     row = cfg.row_cards + 8 * tier + 2 * index
-    zero2 = jnp.zeros((2, 7), i8)
-    state = jax.lax.dynamic_update_slice(state, zero2, (row, 0))
+    state = _set2_rows(state, row, jnp.zeros((2, 7), i32))
 
     def draw(s):
         s2, card, has = _draw_deck_card(cfg, s, tier, u0, u1)
-        s3 = jax.lax.dynamic_update_slice(s2, card, (row, 0))
+        s3 = _set2_rows(s2, row, card)
         return jnp.where(has, s3, s2)
 
     return jax.lax.cond(deterministic, lambda s: s, draw, state)
@@ -347,14 +382,14 @@ def _do_reserve(cfg, state, slot15, player, deterministic, u0, u1):
 
     def visible(s):
         row = cfg.row_cards + 2 * slot15
-        card = jax.lax.dynamic_slice(s, (row, 0), (2, 7))
-        s = jax.lax.dynamic_update_slice(s, card, (er, 0))
+        card = jnp.stack(_read2_rows(s, row))
+        s = _set2_rows(s, er, card)
         return _fill_slot(cfg, s, slot15 // 4, slot15 % 4, deterministic, u0, u1)
 
     def from_deck(s):
         def draw(s):
             s2, card, has = _draw_deck_card(cfg, s, slot15 - 12, u0, u1)
-            s3 = jax.lax.dynamic_update_slice(s2, card, (er, 0))
+            s3 = _set2_rows(s2, er, card)
             return jnp.where(has, s3, s2)
         return jax.lax.cond(deterministic, lambda x: x, draw, s)
 
@@ -381,12 +416,14 @@ def step(cfg: SplendorConfig, state: jnp.ndarray, action, player,
     player = jnp.asarray(player, i32)
     deterministic = jnp.asarray(deterministic, jnp.bool_)
     u0, u1 = uniforms[0], uniforms[1]
-    kind = _KIND[action]
-    param = _PARAM[action]
+    act_m = jnp.arange(T.NUM_ACTIONS) == action
+    kind = jnp.sum(_KIND * act_m)
+    param = jnp.sum(_PARAM * act_m)
+    take = jnp.sum(_TAKE * act_m[:, None], axis=0)
+    give = jnp.sum(_GIVE * act_m[:, None], axis=0)
 
     def k_buy(s):
-        cost = jax.lax.dynamic_slice(s, (cfg.row_cards + 2 * param, 0), (1, 7))[0]
-        gain = jax.lax.dynamic_slice(s, (cfg.row_cards + 2 * param + 1, 0), (1, 7))[0]
+        cost, gain = _read2_rows(s, cfg.row_cards + 2 * param)
         s = _pay_and_gain(cfg, s, cost, gain, player)
         return _fill_slot(cfg, s, param // 4, param % 4, deterministic, u0, u1)
 
@@ -395,23 +432,23 @@ def step(cfg: SplendorConfig, state: jnp.ndarray, action, player,
 
     def k_buy_reserve(s):
         base = cfg.row_prsv + 6 * player
-        cost = jax.lax.dynamic_slice(s, (base + 2 * param, 0), (1, 7))[0]
-        gain = jax.lax.dynamic_slice(s, (base + 2 * param + 1, 0), (1, 7))[0]
+        cost, gain = _read2_rows(s, base + 2 * param)
         s = _pay_and_gain(cfg, s, cost, gain, player)
         # compact remaining reserved cards (reference _buy_reserve :554-560)
-        block = jax.lax.dynamic_slice(s, (base, 0), (6, 7))
-        kept = block[_BUYRSV_PERM[param]]
-        new_block = jnp.concatenate([kept, jnp.zeros((2, 7), i8)], 0)
+        block = jax.lax.dynamic_slice(s, (base, 0), (6, 7)).astype(i32)
+        kept = jnp.where(param == 0, block[jnp.array([2, 3, 4, 5])],
+                         jnp.where(param == 1, block[jnp.array([0, 1, 4, 5])],
+                                   block[jnp.array([0, 1, 2, 3])]))
+        new_block = jnp.concatenate([kept, jnp.zeros((2, 7), i32)], 0).astype(i8)
         return jax.lax.dynamic_update_slice(s, new_block, (base, 0))
 
     def k_gems(s):
-        delta = (_TAKE[action] - _GIVE[action]).astype(i32)
+        delta = take - give
         s = _add_row(s, cfg.row_pgems + player, jnp.zeros(7, i32).at[:5].set(delta))
         return _add_row(s, 0, jnp.zeros(7, i32).at[:5].set(-delta))
 
     def k_rsvg(s):
         s = _do_reserve(cfg, s, param, player, deterministic, u0, u1)
-        give = _GIVE[action].astype(i32)
         s = _add_row(s, cfg.row_pgems + player, jnp.zeros(7, i32).at[:5].set(-give))
         return _add_row(s, 0, jnp.zeros(7, i32).at[:5].set(give))
 

@@ -119,12 +119,13 @@ class SplendorNet(nn.Module):
         x = drop(DenseAndPartialGPool(w, nb_groups=4, nb_items=4, use_bn=True)(x, train))
 
         x = x[:, 0, :]                               # (B, w)
-        pi = nn.Dense(c.action_size, kernel_init=kinit)(
-            nn.Dense(w, kernel_init=kinit)(x))
-        v = nn.Dense(c.num_players, kernel_init=kinit)(
-            nn.Dense(w, kernel_init=kinit)(x))
-        sd = nn.Dense(c.num_scdiffs * c.scdiff_size, kernel_init=kinit)(
-            nn.Dense(w, kernel_init=kinit)(x))
+        pi_h = nn.Dense(w, kernel_init=kinit)(x)     # Dense_6
+        pi = nn.Dense(c.action_size, kernel_init=kinit)(pi_h)   # Dense_7
+        v_h = nn.Dense(w, kernel_init=kinit)(x)      # Dense_8
+        v = nn.Dense(c.num_players, kernel_init=kinit)(v_h)     # Dense_9
+        sd_h = nn.Dense(w, kernel_init=kinit)(x)     # Dense_10
+        sd = nn.Dense(c.num_scdiffs * c.scdiff_size,
+                      kernel_init=kinit)(sd_h)       # Dense_11
 
         pi = jnp.where(valid_actions, pi, LOW_VALUE)
         log_pi = jax.nn.log_softmax(pi, axis=-1)

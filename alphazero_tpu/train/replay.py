@@ -13,6 +13,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..utils import native
+
 
 @dataclass
 class Iteration:
@@ -57,13 +59,13 @@ class ReplayBuffer:
         probability is surprise-proportional plus a uniform floor (repairing
         the reference's :333-341 intent)."""
         n = len(self)
+        seed = int(rng.integers(0, 2 ** 62))
         if surprise_weight:
             s = self._flat("surprise").astype(np.float64)
             p = s / max(s.sum(), 1e-9) + 1.0 / n
-            p = p / p.sum()
-            ids = rng.choice(n, size=batch_size, replace=False, p=p)
+            ids = native.sample_weighted(p.astype(np.float32), batch_size, seed)
         else:
-            ids = rng.choice(n, size=batch_size, replace=False)
+            ids = native.sample_uniform(n, batch_size, seed)
         out = {}
         for name in ("boards", "pi", "winner", "scdiff", "valids"):
             out[name] = self._flat(name)[ids]
