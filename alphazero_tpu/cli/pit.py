@@ -79,16 +79,23 @@ def create_player(spec: str, game, args):
 
 
 def play_games(game, players, num_games, record_dir=None, verbose=False,
-               rng=None):
+               rng=None, token_limits=None):
     """Sequential host arena over the Game adapter; seats follow the
-    reference's 1 2 2 1 alternation (Arena.py:195-202).
-    Returns (wins_per_agent, draws, score_sums)."""
+    reference's 1 2 2 1 alternation (Arena.py:195-202).  ``token_limits``
+    optionally handicaps each seat's gem-holding limit (reference
+    Arena.py:102-116).  Returns (wins_per_agent, draws, score_sums)."""
     n = game.getNumberOfPlayers()
     rng = rng or np.random.default_rng(0)
     wins = [0] * len(players)
     draws = 0
     scores_sum = np.zeros(len(players))
     pattern = [0, 1, 1, 0]
+    seat_games = [game] * n
+    if token_limits:
+        from ..games.game_api import SplendorGame
+        seat_games = [game if lim == game.cfg.token_limit
+                      else SplendorGame(n, token_limit=lim)
+                      for lim in token_limits]
     for gi in range(num_games):
         flip = pattern[gi % 4] if len(players) == 2 else gi % len(players)
         # agent controlling seat s this game
@@ -97,16 +104,17 @@ def play_games(game, players, num_games, record_dir=None, verbose=False,
         player = 0
         records = []
         for move_i in range(game.cfg.max_moves + 1):
-            canon = game.getCanonicalForm(board, player)
+            g = seat_games[player]
+            canon = g.getCanonicalForm(board, player)
             agent = players[agent_of_seat[player]]
             a = agent.play(canon)
-            valids = game.getValidMoves(canon, 0)
+            valids = g.getValidMoves(canon, 0)
             assert valids[a], f"illegal move {a} from agent at seat {player}"
             if verbose:
                 print(f"move {move_i} P{player}: {game.moveToString(a)}")
             if record_dir:
                 records.append(board.copy())
-            board, player = game.getNextState(board, player, a)
+            board, player = g.getNextState(board, player, a)
             r = game.getGameEnded(board)
             if r.any():
                 top = np.flatnonzero(r > 0)
@@ -126,6 +134,39 @@ def play_games(game, players, num_games, record_dir=None, verbose=False,
     return wins, draws, scores_sum
 
 
+def run_tournament(game, args):
+    """Round-robin of recent checkpoints with Glicko-2 bookkeeping
+    (reference pit.py:115-201 play_age/update_ratings — the reference's
+    multi-console process sharding is replaced by one batched process)."""
+    import glob
+    import itertools
+    import time
+
+    paths = sorted(glob.glob(os.path.join(args.tournament, "**", "best*.pt"),
+                             recursive=True))
+    if args.max_age_hours is not None:
+        cutoff = time.time() - args.max_age_hours * 3600
+        paths = [p for p in paths if os.stat(p).st_mtime >= cutoff]
+    if len(paths) < 2:
+        print(f"need >=2 checkpoints under {args.tournament}, found {len(paths)}")
+        return
+    print(f"tournament: {len(paths)} checkpoints")
+    from ..eval.glicko2 import RatingBook
+    book = (RatingBook.load(args.ratings) if args.ratings else None)
+    for pa, pb in itertools.combinations(paths, 2):
+        players = [create_player(pa, game, args), create_player(pb, game, args)]
+        wins, draws, _ = play_games(game, players, args.num_games)
+        print(f"{os.path.relpath(pa, args.tournament)} vs "
+              f"{os.path.relpath(pb, args.tournament)}: {wins} draws={draws}")
+        if book is not None:
+            total = wins[0] + wins[1] + draws
+            book.record_match(pa, pb, (wins[0] + 0.5 * draws) / max(total, 1))
+            book.save()
+    if book is not None:
+        for name, r in sorted(book.ratings.items(), key=lambda kv: -kv[1].rating):
+            print(f"{r.rating:7.1f} +-{r.rd:5.1f}  {name}")
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser(description="pit agents")
@@ -139,17 +180,31 @@ def main(argv=None):
     p.add_argument("--record-dir", default=None)
     p.add_argument("--ratings", default=None,
                    help="path to a glicko2 JSON book to update")
+    p.add_argument("--token-limits", default=None,
+                   help="per-seat gem limits, e.g. 8,10 (handicap mode; "
+                        "reference Arena.py:102-116)")
+    p.add_argument("--tournament", default=None, metavar="DIR",
+                   help="round-robin all best*.pt under DIR instead of "
+                        "explicit players (reference pit.py play_age)")
+    p.add_argument("--max-age-hours", type=float, default=None,
+                   help="with --tournament: only checkpoints newer than this")
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    import jax
     from ..games.game_api import SplendorGame
     game = SplendorGame(args.numPlayers, seed=args.seed)
+
+    if args.tournament:
+        return run_tournament(game, args)
+
+    limits = ([int(x) for x in args.token_limits.split(",")]
+              if args.token_limits else None)
     players = [create_player(s, game, args) for s in args.players]
     wins, draws, scores = play_games(game, players, args.num_games,
                                      record_dir=args.record_dir,
-                                     verbose=args.verbose)
+                                     verbose=args.verbose,
+                                     token_limits=limits)
     print(f"result: wins={wins} draws={draws} avg_scores="
           f"{(scores / max(args.num_games, 1)).round(2).tolist()}")
 

@@ -41,10 +41,22 @@ class MatchResult:
 
 
 class BatchArena:
-    def __init__(self, env_cfg: E.SplendorConfig, batch_size: int):
+    def __init__(self, env_cfg: E.SplendorConfig, batch_size: int,
+                 token_limits: list[int] | None = None):
+        """``token_limits``: optional per-seat gem-holding limit — the
+        reference's handicap experiment lever (Arena.py:102-116,
+        SplendorLogicNumba.py:214-215).  Rules seen by seat p use
+        ``token_limit=token_limits[p]``."""
         self.cfg = env_cfg
         self.B = batch_size
         cfg = env_cfg
+        self.token_limits = (list(token_limits) if token_limits
+                             else [cfg.token_limit] * cfg.num_players)
+        self.handicapped = any(l != cfg.token_limit for l in self.token_limits)
+
+        def _seat_cfg(player: int) -> E.SplendorConfig:
+            return dataclasses.replace(cfg,
+                                       token_limit=self.token_limits[player])
 
         def _init(key):
             return jax.vmap(lambda k: E.initial_state(cfg, k))(
@@ -53,19 +65,38 @@ class BatchArena:
         def _canon(states, player):
             return jax.vmap(lambda s: E.swap_players(cfg, s, player))(states)
 
-        def _step(states, actions, player, key):
-            u = jax.random.uniform(key, (batch_size, 2))
-            s2, nxt = jax.vmap(
-                lambda s, a, uu: E.step(cfg, s, a, player, uu, False)
-            )(states, actions, u)
-            return s2, nxt[0]
+        def _make_step(scfg):
+            def _step(states, actions, player, key):
+                u = jax.random.uniform(key, (batch_size, 2))
+                s2, nxt = jax.vmap(
+                    lambda s, a, uu: E.step(scfg, s, a, player, uu, False)
+                )(states, actions, u)
+                return s2, nxt[0]
+            return jax.jit(_step)
 
         self.init = jax.jit(_init)
         self.canon = jax.jit(_canon)
-        self.step = jax.jit(_step)
+        by_limit = {}
+        for p in range(cfg.num_players):
+            lim = self.token_limits[p]
+            if lim not in by_limit:
+                scfg = _seat_cfg(p)
+                by_limit[lim] = (
+                    _make_step(scfg),
+                    jax.jit(jax.vmap(
+                        lambda s, c=scfg: E.valid_moves(c, s, 0))))
+        self._steps = [by_limit[self.token_limits[p]][0]
+                       for p in range(cfg.num_players)]
+        self._valids = [by_limit[self.token_limits[p]][1]
+                        for p in range(cfg.num_players)]
         self.ends = jax.jit(jax.vmap(lambda s: E.check_end_game(cfg, s)))
         self.scores = jax.jit(jax.vmap(lambda s: E.all_scores(cfg, s)))
-        self.valids = jax.jit(jax.vmap(lambda s: E.valid_moves(cfg, s, 0)))
+
+    def step(self, states, actions, player, key):
+        return self._steps[player](states, actions, player, key)
+
+    def valids(self, states, player: int = 0):
+        return self._valids[player](states)
 
     def play(self, agents: list[Agent], key, start_states=None,
              start_player: int = 0) -> MatchResult:

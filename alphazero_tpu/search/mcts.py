@@ -22,10 +22,18 @@ Deliberate structural divergences (documented):
 - no transposition table (identical states become distinct nodes), which is
   the standard array-MCTS trade.
 
-Memory layout: per-(node,action) matrices are kept to ``children`` (int32)
-and ``prior``; edge visit/value statistics live per *child node* (an edge is
-identified with the child it leads to), which keeps HBM use linear in the
-number of nodes rather than nodes x actions.
+TPU memory/layout design (profile-driven):
+- Edge visit/value statistics are stored per (node, action) as dense
+  ``[B, M, A]`` arrays.  Selection then only ever reads whole per-node rows
+  via batched ``take_along_axis`` (a cheap contiguous gather).  The earlier
+  per-child layout required a ``[B, A]``-shaped gather of per-child counts
+  through the ``children`` matrix at every UCB evaluation — on TPU that
+  lowers to a pathological elementwise gather fusion which consumed ~90% of
+  the whole search runtime (xprof: two 0.43s fusions per 0.95s search).
+- All tree mutation at per-board-varying indices is expressed as flat-1D
+  scatters over reshaped ``[B*M*A]``/``[B*M]`` arrays at batch level (not
+  under vmap), the fastest scatter form measured on v5e; writes at the
+  common ``slot`` index use dynamic-update-slice.
 """
 
 from __future__ import annotations
@@ -55,15 +63,15 @@ class MCTSConfig:
 
 
 class Tree(NamedTuple):
-    """All arrays carry a leading batch axis [B]."""
+    """All arrays carry a leading batch axis [B]; M = num_sims + 1 nodes."""
     states: jnp.ndarray      # [B, M, R, 7] int8, canonical (player-0 to move)
     valid: jnp.ndarray       # [B, M, A] bool
     prior: jnp.ndarray       # [B, M, A] f32 (normalized over valid)
     children: jnp.ndarray    # [B, M, A] i32, -1 if unexpanded
+    edge_n: jnp.ndarray      # [B, M, A] i32  visits of edge (node, action)
+    edge_w: jnp.ndarray      # [B, M, A] f32  sum of node-frame v[0] backups
     parent: jnp.ndarray      # [B, M] i32
     parent_action: jnp.ndarray  # [B, M] i32
-    edge_n: jnp.ndarray      # [B, M] i32   visits of edge (parent -> this)
-    edge_w: jnp.ndarray      # [B, M] f32   sum of parent-frame v[0] backups
     node_n: jnp.ndarray      # [B, M] i32   Ns
     node_vsum: jnp.ndarray   # [B, M] f32   leaf eval + backups (Qs numerator)
     term_val: jnp.ndarray    # [B, M, P] f32 terminal outcome (child frame)
@@ -89,96 +97,111 @@ def _normalize_masked(p, valid):
     return p / jnp.maximum(p.sum(-1, keepdims=True), EPS)
 
 
-def _ucb_pick(cfg: MCTSConfig, prior_a, valid_a, child_a, edge_n, edge_w,
-              ns, qs, sim_idx, is_root):
-    """Select an action at one node (reference pick_highest_UCB,
-    MCTS.py:199-219)."""
-    A = prior_a.shape[0]
-    has_child = child_a >= 0
-    safe_child = jnp.maximum(child_a, 0)
-    n_a = jnp.where(has_child, edge_n[safe_child], 0)
-    w_a = jnp.where(has_child, edge_w[safe_child], 0.0)
-    visited = n_a > 0
-    q_a = w_a / jnp.maximum(n_a, 1)
+def _row(arr_bma, node_b):
+    """arr [B, M, ...] indexed at per-board node -> [B, ...]."""
+    idx = node_b.reshape((-1,) + (1,) * (arr_bma.ndim - 1))
+    return jnp.take_along_axis(arr_bma, idx, axis=1)[:, 0]
 
-    fpu_init = jnp.where(cfg.fpu > 0, qs - cfg.fpu, cfg.fpu)
-    ns_f = ns.astype(jnp.float32)
+
+def _ucb_pick_rows(cfg: MCTSConfig, prior_r, valid_r, en_r, ew_r, ns, qs,
+                   sim_idx, is_root):
+    """Vectorized PUCT over per-node rows [B, A] (reference pick_highest_UCB,
+    MCTS.py:199-219)."""
+    A = prior_r.shape[-1]
+    visited = en_r > 0
+    q_a = ew_r / jnp.maximum(en_r, 1)
+
+    fpu_init = jnp.where(cfg.fpu > 0, qs - cfg.fpu, cfg.fpu)[:, None]
+    ns_f = ns.astype(jnp.float32)[:, None]
+    n_f = en_r.astype(jnp.float32)
     u = jnp.where(
         visited,
-        q_a + cfg.cpuct * prior_a * jnp.sqrt(ns_f) / (1.0 + n_a),
-        fpu_init + cfg.cpuct * prior_a * jnp.sqrt(ns_f + EPS),
+        q_a + cfg.cpuct * prior_r * jnp.sqrt(ns_f) / (1.0 + n_f),
+        fpu_init + cfg.cpuct * prior_r * jnp.sqrt(ns_f + EPS),
     )
-    u = jnp.where(valid_a, u, -jnp.inf)
-    best = jnp.argmax(u)
+    u = jnp.where(valid_r, u, -jnp.inf)
+    best = jnp.argmax(u, axis=-1).astype(jnp.int32)
 
     if cfg.forced_playouts:
-        thresh = jnp.floor(jnp.sqrt(cfg.k_forced * prior_a
-                                    * sim_idx.astype(jnp.float32))).astype(jnp.int32)
-        force = valid_a & (n_a < thresh) & is_root
-        idx = jnp.arange(A, dtype=jnp.int32)
-        first_forced = jnp.min(jnp.where(force, idx, A))
-        best = jnp.where(force.any(), first_forced, best)
-    return best.astype(jnp.int32)
+        thresh = jnp.floor(jnp.sqrt(
+            cfg.k_forced * prior_r * sim_idx.astype(jnp.float32))).astype(jnp.int32)
+        force = valid_r & (en_r < thresh) & is_root[:, None]
+        idx = jnp.arange(A, dtype=jnp.int32)[None, :]
+        first_forced = jnp.min(jnp.where(force, idx, A), axis=-1).astype(jnp.int32)
+        best = jnp.where(force.any(-1), first_forced, best)
+    return best
 
 
-def _select_one(cfg: MCTSConfig, tree_b, sim_idx):
-    """Descend one board's tree; returns (edge_parent, edge_action,
-    existing_child) where existing_child is -1 if the edge is unexpanded."""
+def _select(cfg: MCTSConfig, tree: Tree, sim_idx):
+    """Batched tree descent; returns (parent [B], action [B], existing [B])
+    where existing is -1 if the chosen edge is unexpanded."""
+    B = tree.parent.shape[0]
+
     def cond(c):
-        return ~c[3]
+        return ~c[3].all()
 
     def body(c):
-        node, _, _, _ = c
-        a = _ucb_pick(
-            cfg,
-            tree_b.prior[node], tree_b.valid[node], tree_b.children[node],
-            tree_b.edge_n, tree_b.edge_w,
-            tree_b.node_n[node],
-            tree_b.node_vsum[node] / (tree_b.node_n[node] + 1.0),
-            sim_idx, node == 0)
-        child = tree_b.children[node, a]
-        stop = (child == NO_CHILD) | tree_b.is_term[jnp.maximum(child, 0)]
-        nxt = jnp.where(stop, node, child)
-        return (nxt, node, a, stop)
+        node, _, _, stop = c
+        prior_r = _row(tree.prior, node)
+        valid_r = _row(tree.valid, node)
+        en_r = _row(tree.edge_n, node)
+        ew_r = _row(tree.edge_w, node)
+        nn_ = _row(tree.node_n, node)
+        nv = _row(tree.node_vsum, node)
+        qs = nv / (nn_.astype(jnp.float32) + 1.0)
+        a = _ucb_pick_rows(cfg, prior_r, valid_r, en_r, ew_r, nn_, qs,
+                           sim_idx, node == 0)
+        child = _row(tree.children, node)[jnp.arange(B), a]
+        term = _row(tree.is_term, jnp.maximum(child, 0))
+        now_stop = (child == NO_CHILD) | term
+        parent = jnp.where(stop, c[1], node)
+        action = jnp.where(stop, c[2], a)
+        nxt = jnp.where(stop | now_stop, node, child)
+        return (nxt, parent, action, stop | now_stop)
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.asarray(False))
+    zeros = jnp.zeros((B,), jnp.int32)
+    init = (zeros, zeros, zeros, jnp.zeros((B,), jnp.bool_))
     _, parent, action, _ = jax.lax.while_loop(cond, body, init)
-    return parent, action, tree_b.children[parent, action]
+    existing = tree.children[jnp.arange(B), parent, action]
+    return parent, action, existing
 
 
-def _backprop_one(tree_b, leaf, value_vec):
-    """Walk parent pointers from ``leaf`` to the root, rolling the seat frame
-    once per level (reference MCTS.py:168-176)."""
+def _backprop(tree: Tree, leaf, value_vec):
+    """Batch-level path walk from ``leaf`` to the root, rolling the seat
+    frame once per level (reference MCTS.py:168-176).  All updates are
+    flat-1D scatter-adds (see module docstring)."""
+    B, M, A = tree.prior.shape
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    en = tree.edge_n.reshape(B * M * A)
+    ew = tree.edge_w.reshape(B * M * A)
+    nn_ = tree.node_n.reshape(B * M)
+    nv = tree.node_vsum.reshape(B * M)
+
     def cond(c):
-        return c[0] != 0
+        return jnp.any(c[0] != 0)
 
     def body(c):
         node, v, en, ew, nn_, nv = c
-        p = tree_b.parent[node]
-        v = jnp.roll(v, 1)
-        en = en.at[node].add(1)
-        ew = ew.at[node].add(v[0])
-        nn_ = nn_.at[p].add(1)
-        nv = nv.at[p].add(v[0])
-        return (p, v, en, ew, nn_, nv)
+        active = node != 0
+        v = jnp.roll(v, 1, axis=1)
+        p = _row(tree.parent, node)
+        a = _row(tree.parent_action, node)
+        v0 = jnp.where(active, v[:, 0], 0.0)
+        ai = active.astype(jnp.int32)
+        fe = (bidx * M + p) * A + a
+        en = en.at[fe].add(ai)
+        ew = ew.at[fe].add(v0)
+        fn = bidx * M + p
+        nn_ = nn_.at[fn].add(ai)
+        nv = nv.at[fn].add(v0)
+        return (jnp.where(active, p, 0), v, en, ew, nn_, nv)
 
-    init = (leaf, value_vec, tree_b.edge_n, tree_b.edge_w,
-            tree_b.node_n, tree_b.node_vsum)
+    init = (leaf, value_vec, en, ew, nn_, nv)
     _, _, en, ew, nn_, nv = jax.lax.while_loop(cond, body, init)
-    return en, ew, nn_, nv
-
-
-class _TreeB(NamedTuple):
-    """Single-board view used inside vmap."""
-    prior: jnp.ndarray
-    valid: jnp.ndarray
-    children: jnp.ndarray
-    parent: jnp.ndarray
-    edge_n: jnp.ndarray
-    edge_w: jnp.ndarray
-    node_n: jnp.ndarray
-    node_vsum: jnp.ndarray
-    is_term: jnp.ndarray
+    return tree._replace(edge_n=en.reshape(B, M, A),
+                         edge_w=ew.reshape(B, M, A),
+                         node_n=nn_.reshape(B, M),
+                         node_vsum=nv.reshape(B, M))
 
 
 def build_search(mcts_cfg: MCTSConfig, num_players: int,
@@ -212,30 +235,25 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             valid=jnp.zeros((B, M, A), jnp.bool_).at[:, 0].set(root_valid),
             prior=jnp.zeros((B, M, A), jnp.float32).at[:, 0].set(pi0),
             children=jnp.full((B, M, A), NO_CHILD),
+            edge_n=jnp.zeros((B, M, A), jnp.int32),
+            edge_w=jnp.zeros((B, M, A), jnp.float32),
             parent=jnp.zeros((B, M), jnp.int32),
             parent_action=jnp.zeros((B, M), jnp.int32),
-            edge_n=jnp.zeros((B, M), jnp.int32),
-            edge_w=jnp.zeros((B, M), jnp.float32),
             node_n=jnp.zeros((B, M), jnp.int32),
             node_vsum=jnp.zeros((B, M), jnp.float32).at[:, 0].set(v0[:, 0]),
             term_val=jnp.zeros((B, M, num_players), jnp.float32),
             is_term=jnp.zeros((B, M), jnp.bool_),
         )
+        bidx = jnp.arange(B, dtype=jnp.int32)
 
         def sim_body(i, tree):
-            tb = _TreeB(tree.prior, tree.valid, tree.children, tree.parent,
-                        tree.edge_n, tree.edge_w, tree.node_n, tree.node_vsum,
-                        tree.is_term)
-            parent, action, existing = jax.vmap(
-                functools.partial(_select_one, cfg), in_axes=(0, None))(tb, i)
-
+            parent, action, existing = _select(cfg, tree, i)
             fresh = existing == NO_CHILD
             slot = jnp.int32(i + 1)                       # preallocated node id
 
-            # Step every board's selected edge (cheap; results unused when the
-            # child already exists).
-            parent_states = jnp.take_along_axis(
-                tree.states, parent[:, None, None, None], axis=1)[:, 0]
+            # Step every board's selected edge (results unused when the child
+            # already exists — terminal revisits only).
+            parent_states = _row(tree.states, parent)
             child_state, term_vec, child_valid = jax.vmap(step_fn)(
                 parent_states, action)
             probs, values = eval_fn(params, child_state.astype(jnp.float32),
@@ -243,43 +261,35 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             probs = _normalize_masked(probs, child_valid)
             child_term = jnp.abs(term_vec).sum(-1) > 0
 
-            bidx = jnp.arange(B)
-            write = lambda arr, upd: arr.at[bidx, slot].set(upd)  # noqa: E731
+            def dus(arr, upd):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    arr, upd[:, None].astype(arr.dtype), slot, axis=1)
+
+            BMA = tree.children.size
+            fc = jnp.where(fresh, (bidx * M + parent) * A + action, BMA)
             tree = tree._replace(
-                states=write(tree.states, child_state),
-                valid=write(tree.valid, child_valid),
-                prior=write(tree.prior, probs),
-                parent=tree.parent.at[:, slot].set(parent),
-                parent_action=tree.parent_action.at[:, slot].set(action),
-                edge_n=tree.edge_n.at[:, slot].set(0),
-                edge_w=tree.edge_w.at[:, slot].set(0.0),
-                node_n=tree.node_n.at[:, slot].set(0),
-                node_vsum=tree.node_vsum.at[:, slot].set(values[:, 0]),
-                term_val=write(tree.term_val, term_vec),
-                is_term=tree.is_term.at[:, slot].set(child_term),
-                children=tree.children.at[bidx, parent, action].set(
-                    jnp.where(fresh, slot, existing)),
+                states=dus(tree.states, child_state),
+                valid=dus(tree.valid, child_valid),
+                prior=dus(tree.prior, probs),
+                parent=dus(tree.parent, parent),
+                parent_action=dus(tree.parent_action, action),
+                node_n=dus(tree.node_n, jnp.zeros((B,), jnp.int32)),
+                node_vsum=dus(tree.node_vsum, values[:, 0]),
+                term_val=dus(tree.term_val, term_vec),
+                is_term=dus(tree.is_term, child_term),
+                children=tree.children.reshape(BMA).at[fc]
+                    .set(slot, mode="drop").reshape(B, M, A),
             )
 
             leaf = jnp.where(fresh, slot, existing)
-            leaf_term = tree.is_term[bidx, leaf]
-            leaf_tv = tree.term_val[bidx, leaf]
+            leaf_term = _row(tree.is_term, leaf)
+            leaf_tv = _row(tree.term_val, leaf)
             value_vec = jnp.where(leaf_term[:, None], leaf_tv, values)
-
-            tb2 = _TreeB(tree.prior, tree.valid, tree.children, tree.parent,
-                         tree.edge_n, tree.edge_w, tree.node_n, tree.node_vsum,
-                         tree.is_term)
-            en, ew, nn_, nv = jax.vmap(_backprop_one)(tb2, leaf, value_vec)
-            return tree._replace(edge_n=en, edge_w=ew, node_n=nn_, node_vsum=nv)
+            return _backprop(tree, leaf, value_vec)
 
         tree = jax.lax.fori_loop(0, S, sim_body, tree)
 
-        # Root visit counts per action
-        root_children = tree.children[:, 0]                       # [B, A]
-        has = root_children >= 0
-        safe = jnp.maximum(root_children, 0)
-        counts = jnp.where(
-            has, jnp.take_along_axis(tree.edge_n, safe, axis=1), 0)
+        counts = tree.edge_n[:, 0, :]                             # [B, A]
 
         # Root Q vector (reference MCTS.py:64-66)
         qs = tree.node_vsum[:, 0] / (tree.node_n[:, 0] + 1.0)

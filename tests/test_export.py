@@ -1,0 +1,40 @@
+"""Export/reload roundtrip for the StableHLO serving artifact (cli/export.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_export_roundtrip(tmp_path):
+    from alphazero_tpu.cli import export as X
+    from alphazero_tpu.games.splendor import adapter as A
+    from alphazero_tpu.games.splendor import env as E
+    from alphazero_tpu.models import splendor_net as N
+    from alphazero_tpu.utils import checkpoint as CKPT
+
+    env_cfg = E.SplendorConfig()
+    net_cfg = A.net_config_for(env_cfg)
+    params, stats = N.init_params(net_cfg, jax.random.PRNGKey(0))
+    CKPT.save_checkpoint(str(tmp_path), "m.pt",
+                         params=params, batch_stats=stats)
+
+    out = str(tmp_path / "m.stablehlo")
+    blob = X.export_checkpoint(str(tmp_path / "m.pt"), out,
+                               platforms=("cpu",))
+    assert len(blob) > 1000
+
+    fn = X.load_exported(out)
+    state = E.initial_state_jit(env_cfg, jax.random.PRNGKey(1))
+    valid = E.valid_moves_jit(env_cfg, state, 0)
+    for B in (1, 4):   # symbolic batch dim
+        boards = jnp.repeat(state.astype(jnp.float32)[None], B, 0)
+        valids = jnp.repeat(valid[None], B, 0)
+        probs, v, sd = fn(boards, valids)
+        ref_p, ref_v, ref_sd = N.apply_inference(net_cfg, params, stats,
+                                                 boards, valids)
+        np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_p),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                                   rtol=1e-5, atol=1e-6)
