@@ -165,3 +165,97 @@ def two_player_gate(env_cfg, search_fn, new_bundle, old_bundle, games: int,
     w1, d1 = r1.tally([0, 1])
     w2, d2 = r2.tally([1, 0])
     return w1[0] + w2[0], w1[1] + w2[1], d1 + d2
+
+
+class FusedMatch:
+    """Whole games fused on device: ``chunk_moves`` moves of (canonicalize ->
+    per-seat-bundle search -> greedy action -> env step with chance) inside
+    one jitted lax.scan, eliminating per-move host round-trips.  Agents are
+    one shared search program evaluated with a per-seat parameter bundle
+    (stacked on a leading axis and dynamically selected by current seat)."""
+
+    def __init__(self, env_cfg: E.SplendorConfig, search_fn,
+                 batch_size: int, chunk_moves: int = 16):
+        self.cfg = env_cfg
+        self.B = batch_size
+        self.chunk_moves = chunk_moves
+        cfg = env_cfg
+
+        def _init(key):
+            return jax.vmap(lambda k: E.initial_state(cfg, k))(
+                jax.random.split(key, batch_size))
+
+        n = cfg.num_players
+
+        # Canonical-rotation representation (see selfplay._chunk): states stay
+        # canonical, ``offset`` is the absolute seat at canonical seat 0, and
+        # every env call uses the static player index 0.
+        def _chunk(bundles, states, offset, done, results, key):
+            def body(carry, key_t):
+                states, offset, done, results = carry
+                ks, ku = jax.random.split(key_t)
+                bundle = jax.tree_util.tree_map(lambda x: x[offset], bundles)
+                res = search_fn(bundle, states, ks)
+                actions = jnp.argmax(res.counts, axis=-1)
+                u = jax.random.uniform(ku, (batch_size, 2))
+
+                def step1(s, a, uu, d):
+                    s2, _ = E.step(cfg, s, a, 0, uu, False)
+                    s2 = jnp.where(d, s, s2)
+                    return E.swap_players(cfg, s2, 1)
+
+                states2 = jax.vmap(step1)(states, actions, u, done)
+                offset2 = (offset + 1) % n
+                ends = jnp.roll(jax.vmap(
+                    lambda s: E.check_end_game(cfg, s))(states2),
+                    offset2, axis=1)
+                newly = ends.any(1) & ~done
+                results = jnp.where(newly[:, None], ends, results)
+                return (states2, offset2, done | newly, results), None
+
+            init = (states, offset, done, results)
+            carry, _ = jax.lax.scan(body, init,
+                                    jax.random.split(key, chunk_moves))
+            return carry
+
+        self.init = jax.jit(_init)
+        self.chunk = jax.jit(_chunk)
+        self.scores = jax.jit(jax.vmap(lambda s: E.all_scores(cfg, s)))
+
+    def play(self, seat_bundles: list, key) -> MatchResult:
+        """seat_bundles[p] = parameter bundle controlling seat p."""
+        cfg, B = self.cfg, self.B
+        bundles = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *seat_bundles)
+        key, k0 = jax.random.split(key)
+        states = self.init(k0)
+        offset = jnp.int32(0)
+        done = jnp.zeros(B, jnp.bool_)
+        results = jnp.zeros((B, cfg.num_players), jnp.float32)
+        moves = 0
+        for _ in range((cfg.max_moves + self.chunk_moves - 1)
+                       // self.chunk_moves):
+            key, kc = jax.random.split(key)
+            states, offset, done, results = self.chunk(
+                bundles, states, offset, done, results, kc)
+            moves += self.chunk_moves
+            if bool(np.asarray(done).all()):
+                break
+        results_np = np.asarray(results)
+        scores = np.roll(np.asarray(self.scores(states)), int(offset), axis=1)
+        return MatchResult(outcomes=results_np, scores=scores, moves=moves)
+
+
+def fused_two_player_gate(env_cfg, raw_search_fn, new_bundle, old_bundle,
+                          games: int, key,
+                          chunk_moves: int = 16) -> tuple[int, int, int]:
+    """Device-fused arena gating; both seat orders run as one doubled batch
+    with a per-board seat assignment encoded by bundle stacking order."""
+    half = max(games // 2, 1)
+    match = FusedMatch(env_cfg, raw_search_fn, half, chunk_moves)
+    k1, k2 = jax.random.split(key)
+    r1 = match.play([new_bundle, old_bundle], k1)
+    r2 = match.play([old_bundle, new_bundle], k2)
+    w1, d1 = r1.tally([0, 1])
+    w2, d2 = r2.tally([1, 0])
+    return w1[0] + w2[0], w1[1] + w2[1], d1 + d2

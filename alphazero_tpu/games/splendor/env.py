@@ -132,12 +132,21 @@ def _bank(state):
     return state[0, :5].astype(i32)
 
 
+def _static_row(row):
+    """True when ``row`` is a compile-time constant (Python/numpy int)."""
+    return isinstance(row, (int, np.integer))
+
+
 def _read_row(state, row):
+    if _static_row(row):
+        return state[row].astype(i32)
     m = jnp.arange(state.shape[0]) == row
     return jnp.sum(state.astype(i32) * m[:, None], axis=0)
 
 
 def _read2_rows(state, row):
+    if _static_row(row):
+        return state[row].astype(i32), state[row + 1].astype(i32)
     r = jnp.arange(state.shape[0])
     s32 = state.astype(i32)
     r0 = jnp.sum(s32 * (r == row)[:, None], axis=0)
@@ -154,11 +163,15 @@ def _player_cards(cfg, state, p):
 
 
 def _set_row(state, row, values7):
+    if _static_row(row):
+        return state.at[row].set(values7.astype(i8))
     m = (jnp.arange(state.shape[0]) == row)[:, None]
     return jnp.where(m, values7.astype(i8)[None, :], state)
 
 
 def _set2_rows(state, row, values_2x7):
+    if _static_row(row):
+        return state.at[row:row + 2].set(values_2x7.astype(i8))
     r = jnp.arange(state.shape[0])
     m0 = (r == row)[:, None]
     m1 = (r == row + 1)[:, None]
@@ -168,6 +181,8 @@ def _set2_rows(state, row, values_2x7):
 
 
 def _add_row(state, row, delta7):
+    if _static_row(row):
+        return state.at[row].add(delta7.astype(i8))
     m = (jnp.arange(state.shape[0]) == row)[:, None]
     return (state.astype(i32) + jnp.where(m, delta7[None, :], 0)).astype(i8)
 
@@ -270,8 +285,11 @@ def initial_state(cfg: SplendorConfig, key: jax.Array) -> jnp.ndarray:
 # ----------------------------------------------------------------------------
 def valid_moves(cfg: SplendorConfig, state: jnp.ndarray, player) -> jnp.ndarray:
     """Boolean mask over the 409 actions (reference valid_moves,
-    SplendorLogicNumba.py:251-265, with all seven category kernels fused)."""
-    player = jnp.asarray(player, i32)
+    SplendorLogicNumba.py:251-265, with all seven category kernels fused).
+
+    ``player`` may be a Python int — keep it static when you can: every
+    per-player row index then constant-folds, avoiding per-board dynamic
+    slices under vmap (the canonical search/self-play paths always use 0)."""
     bank = _bank(state)
     gold_bank = state[0, 5].astype(i32)
     pg_row = _player_gems(cfg, state, player)
@@ -413,7 +431,6 @@ def step(cfg: SplendorConfig, state: jnp.ndarray, action, player,
     (SplendorLogicNumba.py:267-289) with the dispatch flattened via
     tables.ACTION_KIND."""
     action = jnp.asarray(action, i32)
-    player = jnp.asarray(player, i32)
     deterministic = jnp.asarray(deterministic, jnp.bool_)
     u0, u1 = uniforms[0], uniforms[1]
     act_m = jnp.arange(T.NUM_ACTIONS) == action
@@ -467,7 +484,7 @@ def step(cfg: SplendorConfig, state: jnp.ndarray, action, player,
 # ----------------------------------------------------------------------------
 def get_score(cfg: SplendorConfig, state: jnp.ndarray, player) -> jnp.ndarray:
     card_pts = _player_cards(cfg, state, player)[6]
-    base = cfg.row_pnobles + cfg.num_nobles * jnp.asarray(player, i32)
+    base = cfg.row_pnobles + cfg.num_nobles * player
     nob = jax.lax.dynamic_slice(state, (base, 0), (cfg.num_nobles, 7)).astype(i32)
     return card_pts + nob[:, 6].sum()
 

@@ -63,13 +63,18 @@ class MCTSConfig:
 
 
 class Tree(NamedTuple):
-    """All arrays carry a leading batch axis [B]; M = num_sims + 1 nodes."""
+    """All arrays carry a leading batch axis [B]; M = num_sims + 1 nodes.
+
+    ``children``/``edge_n``/``edge_w`` are kept permanently FLAT ``[B*M*A]``
+    (row-major over (b, node, action)): the scatter sites want the flat 1D
+    form and the row reads reshape to ``[B*M, A]`` — a free bitcast — so no
+    layout-conversion copies appear at loop boundaries."""
     states: jnp.ndarray      # [B, M, R, 7] int8, canonical (player-0 to move)
     valid: jnp.ndarray       # [B, M, A] bool
     prior: jnp.ndarray       # [B, M, A] f32 (normalized over valid)
-    children: jnp.ndarray    # [B, M, A] i32, -1 if unexpanded
-    edge_n: jnp.ndarray      # [B, M, A] i32  visits of edge (node, action)
-    edge_w: jnp.ndarray      # [B, M, A] f32  sum of node-frame v[0] backups
+    children: jnp.ndarray    # [B*M*A] i32, -1 if unexpanded
+    edge_n: jnp.ndarray      # [B*M*A] i32  visits of edge (node, action)
+    edge_w: jnp.ndarray      # [B*M*A] f32  sum of node-frame v[0] backups
     parent: jnp.ndarray      # [B, M] i32
     parent_action: jnp.ndarray  # [B, M] i32
     node_n: jnp.ndarray      # [B, M] i32   Ns
@@ -135,23 +140,27 @@ def _ucb_pick_rows(cfg: MCTSConfig, prior_r, valid_r, en_r, ew_r, ns, qs,
 def _select(cfg: MCTSConfig, tree: Tree, sim_idx):
     """Batched tree descent; returns (parent [B], action [B], existing [B])
     where existing is -1 if the chosen edge is unexpanded."""
-    B = tree.parent.shape[0]
+    B, M, A = tree.prior.shape
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    en2 = tree.edge_n.reshape(B * M, A)
+    ew2 = tree.edge_w.reshape(B * M, A)
 
     def cond(c):
         return ~c[3].all()
 
     def body(c):
         node, _, _, stop = c
+        rows = bidx * M + node
         prior_r = _row(tree.prior, node)
         valid_r = _row(tree.valid, node)
-        en_r = _row(tree.edge_n, node)
-        ew_r = _row(tree.edge_w, node)
+        en_r = jnp.take(en2, rows, axis=0)
+        ew_r = jnp.take(ew2, rows, axis=0)
         nn_ = _row(tree.node_n, node)
         nv = _row(tree.node_vsum, node)
         qs = nv / (nn_.astype(jnp.float32) + 1.0)
         a = _ucb_pick_rows(cfg, prior_r, valid_r, en_r, ew_r, nn_, qs,
                            sim_idx, node == 0)
-        child = _row(tree.children, node)[jnp.arange(B), a]
+        child = tree.children[rows * A + a]
         term = _row(tree.is_term, jnp.maximum(child, 0))
         now_stop = (child == NO_CHILD) | term
         parent = jnp.where(stop, c[1], node)
@@ -162,7 +171,7 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx):
     zeros = jnp.zeros((B,), jnp.int32)
     init = (zeros, zeros, zeros, jnp.zeros((B,), jnp.bool_))
     _, parent, action, _ = jax.lax.while_loop(cond, body, init)
-    existing = tree.children[jnp.arange(B), parent, action]
+    existing = tree.children[(bidx * M + parent) * A + action]
     return parent, action, existing
 
 
@@ -172,8 +181,8 @@ def _backprop(tree: Tree, leaf, value_vec):
     flat-1D scatter-adds (see module docstring)."""
     B, M, A = tree.prior.shape
     bidx = jnp.arange(B, dtype=jnp.int32)
-    en = tree.edge_n.reshape(B * M * A)
-    ew = tree.edge_w.reshape(B * M * A)
+    en = tree.edge_n
+    ew = tree.edge_w
     nn_ = tree.node_n.reshape(B * M)
     nv = tree.node_vsum.reshape(B * M)
 
@@ -198,8 +207,7 @@ def _backprop(tree: Tree, leaf, value_vec):
 
     init = (leaf, value_vec, en, ew, nn_, nv)
     _, _, en, ew, nn_, nv = jax.lax.while_loop(cond, body, init)
-    return tree._replace(edge_n=en.reshape(B, M, A),
-                         edge_w=ew.reshape(B, M, A),
+    return tree._replace(edge_n=en, edge_w=ew,
                          node_n=nn_.reshape(B, M),
                          node_vsum=nv.reshape(B, M))
 
@@ -234,9 +242,9 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             states=jnp.zeros((B, M, R, C), jnp.int8).at[:, 0].set(roots),
             valid=jnp.zeros((B, M, A), jnp.bool_).at[:, 0].set(root_valid),
             prior=jnp.zeros((B, M, A), jnp.float32).at[:, 0].set(pi0),
-            children=jnp.full((B, M, A), NO_CHILD),
-            edge_n=jnp.zeros((B, M, A), jnp.int32),
-            edge_w=jnp.zeros((B, M, A), jnp.float32),
+            children=jnp.full((B * M * A,), NO_CHILD),
+            edge_n=jnp.zeros((B * M * A,), jnp.int32),
+            edge_w=jnp.zeros((B * M * A,), jnp.float32),
             parent=jnp.zeros((B, M), jnp.int32),
             parent_action=jnp.zeros((B, M), jnp.int32),
             node_n=jnp.zeros((B, M), jnp.int32),
@@ -277,8 +285,7 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
                 node_vsum=dus(tree.node_vsum, values[:, 0]),
                 term_val=dus(tree.term_val, term_vec),
                 is_term=dus(tree.is_term, child_term),
-                children=tree.children.reshape(BMA).at[fc]
-                    .set(slot, mode="drop").reshape(B, M, A),
+                children=tree.children.at[fc].set(slot, mode="drop"),
             )
 
             leaf = jnp.where(fresh, slot, existing)
@@ -289,7 +296,8 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
 
         tree = jax.lax.fori_loop(0, S, sim_body, tree)
 
-        counts = tree.edge_n[:, 0, :]                             # [B, A]
+        # root row [b, node 0, :] of the flat edge array
+        counts = tree.edge_n.reshape(B, M * A)[:, :A]             # [B, A]
 
         # Root Q vector (reference MCTS.py:64-66)
         qs = tree.node_vsum[:, 0] / (tree.node_n[:, 0] + 1.0)

@@ -90,10 +90,14 @@ class Coach:
         gate_sims = cfg.gate_num_sims or cfg.num_sims
         gate_mcfg = M.MCTSConfig(num_sims=gate_sims, cpuct=cfg.cpuct,
                                  fpu=cfg.fpu)
-        self.gate_search = jax.jit(M.build_search(
+        # raw (unjitted) search — the fused gate jits whole move chunks;
+        # the FusedMatch is built once so gate calls reuse its compilation
+        self.gate_search = M.build_search(
             gate_mcfg, cfg.num_players, self.eval_fn,
             A.make_search_step_fn(self.env_cfg),
-            A.make_valid_fn(self.env_cfg)))
+            A.make_valid_fn(self.env_cfg))
+        self._gate_match = AR.FusedMatch(
+            self.env_cfg, self.gate_search, max(cfg.arena_games // 2, 1))
 
         self.replay = ReplayBuffer(history=cfg.history,
                                    max_per_iter=cfg.max_examples_per_iter)
@@ -136,9 +140,12 @@ class Coach:
 
     def gate(self, old_bundle) -> tuple[bool, tuple[int, int, int]]:
         self.key, k = jax.random.split(self.key)
-        nw, ow, dr = AR.two_player_gate(
-            self.env_cfg, self.gate_search, self.bundle, old_bundle,
-            self.cfg.arena_games, k)
+        k1, k2 = jax.random.split(k)
+        r1 = self._gate_match.play([self.bundle, old_bundle], k1)
+        r2 = self._gate_match.play([old_bundle, self.bundle], k2)
+        w1, d1 = r1.tally([0, 1])
+        w2, d2 = r2.tally([1, 0])
+        nw, ow, dr = w1[0] + w2[0], w1[1] + w2[1], d1 + d2
         accept = (nw + ow) > 0 and nw / (nw + ow) >= self.cfg.update_threshold
         return accept, (nw, ow, dr)
 

@@ -38,6 +38,7 @@ class SelfPlayConfig:
     dirichlet_alpha: float = 0.2
     prior_temp: float = 1.25       # args.temperature[0]
     max_moves: int = 0             # 0 -> env max
+    chunk_moves: int = 16          # moves fused into one jitted scan call
 
 
 class SelfPlayEngine:
@@ -55,11 +56,6 @@ class SelfPlayEngine:
         fast = M.MCTSConfig(
             num_sims=max(cfg.num_sims // cfg.ratio_full, 2),
             cpuct=cfg.cpuct, fpu=cfg.fpu)
-        self.search_full = jax.jit(
-            M.build_search(full, self.n, eval_fn, step_fn, valid_fn))
-        self.search_fast = jax.jit(
-            M.build_search(fast, self.n, eval_fn, step_fn, valid_fn))
-
         ecfg = env_cfg
 
         def _init_batch(key):
@@ -99,6 +95,66 @@ class SelfPlayEngine:
         self.scores_batch = jax.jit(_scores_batch)
         self.sample_actions = jax.jit(_sample_actions)
 
+        # ------------------------------------------------------------------
+        # Fused actor: ``chunk_moves`` whole moves (search + action sample +
+        # env step + bookkeeping) inside ONE jit as a lax.scan, so per-move
+        # host<->device round-trips (~25 ms each over the TPU tunnel)
+        # disappear.  This is the TPU equivalent of the reference's inner
+        # self-play loop (Coach.py:62-88) — but batched and device-resident.
+        # ------------------------------------------------------------------
+        search_full_fn = M.build_search(full, self.n, eval_fn, step_fn, valid_fn)
+        search_fast_fn = M.build_search(fast, self.n, eval_fn, step_fn, valid_fn)
+        n = self.n
+
+        # States are kept CANONICAL throughout (current player at seat 0), a
+        # scalar rotation offset tracks which absolute player that is.  Every
+        # env call then uses the static player index 0, so all per-player row
+        # arithmetic constant-folds (no per-board dynamic slices), and the
+        # per-move canonicalization collapses to one constant-shift
+        # swap_players(·, 1) fused into the step.
+        def _chunk(bundle, states, offset, move0, done, results, key):
+            def body(carry, key_t):
+                states, offset, move, done, results = carry
+                k_full, ks, ka, ku = jax.random.split(key_t, 4)
+                valids = jax.vmap(valid_fn)(states)
+                is_full = jax.random.uniform(k_full) < cfg.prob_full
+                res = jax.lax.cond(
+                    is_full,
+                    lambda: search_full_fn(bundle, states, ks),
+                    lambda: search_fast_fn(bundle, states, ks))
+                temp = jnp.where(move < cfg.temp_threshold,
+                                 cfg.temp_early, cfg.temp_late)
+                actions = _sample_actions(res.counts, temp, ka)
+                u = jax.random.uniform(ku, (states.shape[0], 2))
+
+                # finished boards skip the game step (so final scores reflect
+                # the position at termination, like the reference which stops
+                # each game there, Coach.py:88) but still rotate seats so the
+                # whole batch shares one canonical rotation offset.
+                def step1(s, a, uu, d):
+                    s2, _ = E.step(ecfg, s, a, 0, uu, False)
+                    s2 = jnp.where(d, s, s2)
+                    return E.swap_players(ecfg, s2, 1)
+
+                states2 = jax.vmap(step1)(states, actions, u, done)
+                offset2 = (offset + 1) % n
+                ends_rel = jax.vmap(
+                    lambda s: E.check_end_game(ecfg, s))(states2)
+                ends = jnp.roll(ends_rel, offset2, axis=1)   # absolute seats
+                newly = ends.any(1) & ~done
+                results = jnp.where(newly[:, None], ends, results)
+                out = (states, res.counts, valids, res.q, offset,
+                       ~done, is_full)
+                return ((states2, offset2, move + 1, done | newly, results),
+                        out)
+
+            init = (states, offset, move0, done, results)
+            (states, offset, move, done, results), outs = jax.lax.scan(
+                body, init, jax.random.split(key, cfg.chunk_moves))
+            return (states, offset, move, done, results), outs
+
+        self.chunk = jax.jit(_chunk)
+
     def run_games(self, params_bundle, key, np_rng: np.random.Generator,
                   collect: bool = True):
         """Play one batch of games to completion.
@@ -110,51 +166,42 @@ class SelfPlayEngine:
 
         key, k0 = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
         states = self.init_batch(k0)
-        player = 0
-        done = np.zeros(B, bool)
-        results = np.zeros((B, n), np.float32)
-        collected = []          # (boards, pi, valids, q, player, alive)
+        offset = jnp.int32(0)
+        move = jnp.int32(0)
+        done = jnp.zeros(B, jnp.bool_)
+        results = jnp.zeros((B, n), jnp.float32)
+        collected = []          # per-chunk host copies of full-search moves
         total_moves = 0
         total_sims = 0
+        fast_sims = max(cfg.num_sims // cfg.ratio_full, 2)
 
-        for move in range(max_moves):
-            canon = self.canonical(states, player)
-            is_full = bool(np_rng.random() < cfg.prob_full)
-            key, ks, ka, ku = jax.random.split(key, 4)
-            search = self.search_full if is_full else self.search_fast
-            res = search(params_bundle, canon, ks)
-            sims = cfg.num_sims if is_full else max(cfg.num_sims // cfg.ratio_full, 2)
-            alive = ~done
-            total_moves += int(alive.sum())
-            total_sims += int(alive.sum()) * sims
-
-            if collect and is_full:
-                counts = np.asarray(res.counts)
-                pi = counts / np.maximum(counts.sum(1, keepdims=True), 1e-9)
-                valids = np.asarray(self.valid_batch(canon))
-                collected.append((np.asarray(canon), pi.astype(np.float16),
-                                  valids, np.asarray(res.q), player,
-                                  alive.copy()))
-
-            temp = cfg.temp_early if move < cfg.temp_threshold else cfg.temp_late
-            # selection uses the (possibly pruned) counts, like the reference
-            # random_pick over getActionProb's output (Coach.py:83)
-            actions = self.sample_actions(res.counts, jnp.float32(temp), ka)
-            states, player_dev = self.step_batch(states, actions, player, ku)
-            player = int(player_dev)
-
-            ends = np.asarray(self.end_batch(states))
-            newly = ends.any(1) & ~done
-            if newly.any():
-                results[newly] = ends[newly]
-                done |= newly
-            if done.all():
+        for _ in range((max_moves + cfg.chunk_moves - 1) // cfg.chunk_moves):
+            key, kc = jax.random.split(key)
+            (states, offset, move, done, results), outs = self.chunk(
+                params_bundle, states, offset, move, done, results, kc)
+            canon_t, counts_t, valids_t, q_t, player_t, alive_t, full_t = (
+                np.asarray(o) for o in outs)
+            alive_counts = alive_t.sum(1)
+            total_moves += int(alive_counts.sum())
+            total_sims += int((alive_counts *
+                               np.where(full_t, cfg.num_sims, fast_sims)).sum())
+            if collect:
+                for t in np.flatnonzero(full_t):
+                    counts = counts_t[t]
+                    pi = counts / np.maximum(counts.sum(1, keepdims=True), 1e-9)
+                    collected.append((canon_t[t], pi.astype(np.float16),
+                                      valids_t[t], q_t[t], int(player_t[t]),
+                                      alive_t[t]))
+            if bool(np.asarray(done).all()):
                 break
 
-        # unfinished games count as draws at move cap
-        if not done.all():
-            ends = np.asarray(self.end_batch(states))
-            results[~done] = ends[~done]
+        # unfinished games: judge at move cap (reference scores tiebreak)
+        results_np = np.asarray(results)
+        done_np = np.asarray(done)
+        off = int(offset)
+        if not done_np.all():
+            ends = np.roll(np.asarray(self.end_batch(states)), off, axis=1)
+            results_np[~done_np] = ends[~done_np]
 
         stats = {
             "games": B,
@@ -165,13 +212,14 @@ class SelfPlayEngine:
         if not collect or not collected:
             return None, stats
 
-        scores = np.asarray(self.scores_batch(states))      # (B, n) absolute
+        # scores come back in the final canonical frame; rotate to absolute
+        scores = np.roll(np.asarray(self.scores_batch(states)), off, axis=1)
         boards_l, pi_l, val_l, win_l, sd_l, sur_l = [], [], [], [], [], []
         for boards, pi, valids, q, pl, alive in collected:
             idx = np.flatnonzero(alive)
             if len(idx) == 0:
                 continue
-            r = results[idx]                                 # absolute frame
+            r = results_np[idx]                              # absolute frame
             winner = np.stack([np.roll(r[i], -pl) for i in range(len(idx))])
             sc = scores[idx]
             sd = np.stack([
