@@ -22,31 +22,48 @@ Deliberate structural divergences (documented):
 - no transposition table (identical states become distinct nodes), which is
   the standard array-MCTS trade.
 
-TPU memory/layout design (profile-driven):
-- Edge visit/value statistics are stored per (node, action) as dense
-  ``[B, M, A]`` arrays.  Selection then only ever reads whole per-node rows
-  via batched ``take_along_axis`` (a cheap contiguous gather).  The earlier
-  per-child layout required a ``[B, A]``-shaped gather of per-child counts
-  through the ``children`` matrix at every UCB evaluation — on TPU that
-  lowers to a pathological elementwise gather fusion which consumed ~90% of
-  the whole search runtime (xprof: two 0.43s fusions per 0.95s search).
-- All tree mutation at per-board-varying indices is expressed as flat-1D
-  scatters over reshaped ``[B*M*A]``/``[B*M]`` arrays at batch level (not
-  under vmap), the fastest scatter form measured on v5e; writes at the
-  common ``slot`` index use dynamic-update-slice.
+TPU memory/layout design (profile-driven; see docs/PERF.md history):
+- Per-node, per-action data lives in ONE unified array ``stats [B, M, 4, A]``
+  (lanes: prior-or-invalid, child-id, edge visits, edge value-sum) so tree
+  descent does a single contiguous ``take_along_axis`` row gather per level.
+  Dynamic row gathers on TPU are HBM-latency-bound (~60-90us for [B,1,*]
+  regardless of row width), so minimizing the NUMBER of gathers per level —
+  not bytes — is what matters.
+- Per-node scalars (N, value-sum, terminal flag, terminal value vector) live
+  in ``node_sc [B, M, 8]``; its row gather is trivial.
+- Backprop does NOT walk the tree a second time.  Selection records the
+  (parent, action) path into ``[B, S]`` buffers; afterwards the whole backup
+  is (a) two dense one-hot matmul accumulations for the node scalars and
+  (b) ONE flat scatter-add over the stats array for the edge statistics plus
+  the child-pointer install (exploiting that a fresh edge's child lane is 0,
+  so add == set).  The previous per-level scatter walk cost ~200us per tree
+  level (xprof: 341ms of a 646ms search at B=1024, S=64); the fused form is
+  one ~0.6ms scatter per simulation regardless of depth.
+- Writes at the common ``slot`` index (node expansion) use
+  dynamic-update-slice, which XLA performs in place inside the fori_loop.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 EPS = 1e-8
-NO_CHILD = jnp.int32(-1)
+
+# stats lane indices
+_PVALID = 0   # prior probability where valid, -1.0 where invalid
+_CHILD = 1    # child node id as f32; 0 = unexpanded (root can never be a child)
+_EN = 2       # edge visit count N(s,a)
+_EW = 3       # edge value sum W(s,a) (node-frame v[0] backups)
+
+# node_sc lane indices (padded to 8 lanes for tiling; supports P <= 4)
+_NN = 0       # node visit count Ns
+_NV = 1       # node value sum (Qs numerator; leaf eval + backups)
+_NT = 2       # 1.0 if terminal
+_NTV = 4      # terminal value vector, lanes 4..4+P
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,24 +80,10 @@ class MCTSConfig:
 
 
 class Tree(NamedTuple):
-    """All arrays carry a leading batch axis [B]; M = num_sims + 1 nodes.
-
-    ``children``/``edge_n``/``edge_w`` are kept permanently FLAT ``[B*M*A]``
-    (row-major over (b, node, action)): the scatter sites want the flat 1D
-    form and the row reads reshape to ``[B*M, A]`` — a free bitcast — so no
-    layout-conversion copies appear at loop boundaries."""
+    """All arrays carry a leading batch axis [B]; M = num_sims + 1 nodes."""
     states: jnp.ndarray      # [B, M, R, 7] int8, canonical (player-0 to move)
-    valid: jnp.ndarray       # [B, M, A] bool
-    prior: jnp.ndarray       # [B, M, A] f32 (normalized over valid)
-    children: jnp.ndarray    # [B*M*A] i32, -1 if unexpanded
-    edge_n: jnp.ndarray      # [B*M*A] i32  visits of edge (node, action)
-    edge_w: jnp.ndarray      # [B*M*A] f32  sum of node-frame v[0] backups
-    parent: jnp.ndarray      # [B, M] i32
-    parent_action: jnp.ndarray  # [B, M] i32
-    node_n: jnp.ndarray      # [B, M] i32   Ns
-    node_vsum: jnp.ndarray   # [B, M] f32   leaf eval + backups (Qs numerator)
-    term_val: jnp.ndarray    # [B, M, P] f32 terminal outcome (child frame)
-    is_term: jnp.ndarray     # [B, M] bool
+    stats: jnp.ndarray       # [B, M, 4, A] f32 — lanes per module header
+    node_sc: jnp.ndarray     # [B, M, 8] f32 — lanes per module header
 
 
 class SearchResult(NamedTuple):
@@ -97,15 +100,25 @@ EvalFn = Callable[..., tuple[jnp.ndarray, jnp.ndarray]]
 StepFn = Callable[..., tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
 
 
+def _mm_dtype():
+    """bf16 one-hot matmuls on TPU; CPU's dot thunk lacks BF16xBF16=F32."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 def _normalize_masked(p, valid):
     p = jnp.where(valid, p, 0.0)
     return p / jnp.maximum(p.sum(-1, keepdims=True), EPS)
 
 
-def _row(arr_bma, node_b):
+def _row(arr, node_b):
     """arr [B, M, ...] indexed at per-board node -> [B, ...]."""
-    idx = node_b.reshape((-1,) + (1,) * (arr_bma.ndim - 1))
-    return jnp.take_along_axis(arr_bma, idx, axis=1)[:, 0]
+    idx = node_b.reshape((-1,) + (1,) * (arr.ndim - 1))
+    return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
+
+
+def _pack_pvalid(probs, valid):
+    """prior where valid, -1 where invalid — one lane encodes both."""
+    return jnp.where(valid, probs, -1.0)
 
 
 def _ucb_pick_rows(cfg: MCTSConfig, prior_r, valid_r, en_r, ew_r, ns, qs,
@@ -117,11 +130,10 @@ def _ucb_pick_rows(cfg: MCTSConfig, prior_r, valid_r, en_r, ew_r, ns, qs,
     q_a = ew_r / jnp.maximum(en_r, 1)
 
     fpu_init = jnp.where(cfg.fpu > 0, qs - cfg.fpu, cfg.fpu)[:, None]
-    ns_f = ns.astype(jnp.float32)[:, None]
-    n_f = en_r.astype(jnp.float32)
+    ns_f = ns[:, None]
     u = jnp.where(
         visited,
-        q_a + cfg.cpuct * prior_r * jnp.sqrt(ns_f) / (1.0 + n_f),
+        q_a + cfg.cpuct * prior_r * jnp.sqrt(ns_f) / (1.0 + en_r),
         fpu_init + cfg.cpuct * prior_r * jnp.sqrt(ns_f + EPS),
     )
     u = jnp.where(valid_r, u, -jnp.inf)
@@ -129,7 +141,7 @@ def _ucb_pick_rows(cfg: MCTSConfig, prior_r, valid_r, en_r, ew_r, ns, qs,
 
     if cfg.forced_playouts:
         thresh = jnp.floor(jnp.sqrt(
-            cfg.k_forced * prior_r * sim_idx.astype(jnp.float32))).astype(jnp.int32)
+            cfg.k_forced * prior_r * sim_idx.astype(jnp.float32)))
         force = valid_r & (en_r < thresh) & is_root[:, None]
         idx = jnp.arange(A, dtype=jnp.int32)[None, :]
         first_forced = jnp.min(jnp.where(force, idx, A), axis=-1).astype(jnp.int32)
@@ -137,79 +149,129 @@ def _ucb_pick_rows(cfg: MCTSConfig, prior_r, valid_r, en_r, ew_r, ns, qs,
     return best
 
 
-def _select(cfg: MCTSConfig, tree: Tree, sim_idx):
-    """Batched tree descent; returns (parent [B], action [B], existing [B])
-    where existing is -1 if the chosen edge is unexpanded."""
-    B, M, A = tree.prior.shape
-    bidx = jnp.arange(B, dtype=jnp.int32)
-    en2 = tree.edge_n.reshape(B * M, A)
-    ew2 = tree.edge_w.reshape(B * M, A)
+def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a):
+    """Batched tree descent with path recording.
+
+    Returns (parent [B], action [B], existing [B] — 0 if the chosen edge is
+    unexpanded, depth [B] — number of edges on the path, path_p, path_a)."""
+    B, M, _, A = tree.stats.shape
+    zeros = jnp.zeros((B,), jnp.int32)
 
     def cond(c):
         return ~c[3].all()
 
     def body(c):
-        node, _, _, stop = c
-        rows = bidx * M + node
-        prior_r = _row(tree.prior, node)
-        valid_r = _row(tree.valid, node)
-        en_r = jnp.take(en2, rows, axis=0)
-        ew_r = jnp.take(ew2, rows, axis=0)
-        nn_ = _row(tree.node_n, node)
-        nv = _row(tree.node_vsum, node)
-        qs = nv / (nn_.astype(jnp.float32) + 1.0)
+        (node, parent, action, stop, depth, level, path_p, path_a,
+         existing) = c
+        row = _row(tree.stats, node)                       # [B, 4, A]
+        nsc = _row(tree.node_sc, node)                     # [B, 8]
+        pv = row[:, _PVALID]
+        valid_r = pv >= 0.0
+        prior_r = jnp.maximum(pv, 0.0)
+        en_r = row[:, _EN]
+        ew_r = row[:, _EW]
+        nn_ = nsc[:, _NN]
+        qs = nsc[:, _NV] / (nn_ + 1.0)
         a = _ucb_pick_rows(cfg, prior_r, valid_r, en_r, ew_r, nn_, qs,
                            sim_idx, node == 0)
-        child = tree.children[rows * A + a]
-        term = _row(tree.is_term, jnp.maximum(child, 0))
-        now_stop = (child == NO_CHILD) | term
-        parent = jnp.where(stop, c[1], node)
-        action = jnp.where(stop, c[2], a)
+        child = jnp.take_along_axis(
+            row[:, _CHILD], a[:, None], axis=1)[:, 0].astype(jnp.int32)
+        term_c = jnp.take_along_axis(
+            tree.node_sc[:, :, _NT], child[:, None], axis=1)[:, 0] > 0.0
+        now_stop = (child == 0) | term_c
+
+        # record the traversed edge for boards still descending
+        rec_p = jnp.where(stop, M, node)       # M = one-hot drop sentinel
+        rec_a = jnp.where(stop, 0, a)
+        path_p = jax.lax.dynamic_update_slice_in_dim(
+            path_p, rec_p[:, None], level, axis=1)
+        path_a = jax.lax.dynamic_update_slice_in_dim(
+            path_a, rec_a[:, None], level, axis=1)
+        depth = depth + (~stop).astype(jnp.int32)
+
+        parent = jnp.where(stop, parent, node)
+        action = jnp.where(stop, action, a)
+        existing = jnp.where(stop, existing, child)
         nxt = jnp.where(stop | now_stop, node, child)
-        return (nxt, parent, action, stop | now_stop)
+        return (nxt, parent, action, stop | now_stop, depth,
+                level + 1, path_p, path_a, existing)
 
-    zeros = jnp.zeros((B,), jnp.int32)
-    init = (zeros, zeros, zeros, jnp.zeros((B,), jnp.bool_))
-    _, parent, action, _ = jax.lax.while_loop(cond, body, init)
-    existing = tree.children[(bidx * M + parent) * A + action]
-    return parent, action, existing
+    init = (zeros, zeros, zeros, jnp.zeros((B,), jnp.bool_), zeros,
+            jnp.int32(0), path_p, path_a, zeros)
+    out = jax.lax.while_loop(cond, body, init)
+    (_, parent, action, _, depth, _, path_p, path_a, existing) = out
+    return parent, action, existing, depth, path_p, path_a
 
 
-def _backprop(tree: Tree, leaf, value_vec):
-    """Batch-level path walk from ``leaf`` to the root, rolling the seat
-    frame once per level (reference MCTS.py:168-176).  All updates are
-    flat-1D scatter-adds (see module docstring)."""
-    B, M, A = tree.prior.shape
-    bidx = jnp.arange(B, dtype=jnp.int32)
-    en = tree.edge_n
-    ew = tree.edge_w
-    nn_ = tree.node_n.reshape(B * M)
-    nv = tree.node_vsum.reshape(B * M)
+def _backprop_fused(tree: Tree, path_p, path_a, depth, value_vec,
+                    parent, action, fresh, slot, pvalid_new):
+    """Whole-path backup + node expansion in O(1) dense device passes
+    (reference MCTS.py:168-176).
 
-    def cond(c):
-        return jnp.any(c[0] != 0)
+    Level l (0-based from the root) holds edge (path_p[l], path_a[l]) into
+    the node at depth l+1; both that edge and node path_p[l] receive
+    ``value_vec[(-(depth - l)) mod P]`` — the seat-roll the reference applies
+    walking up.
 
-    def body(c):
-        node, v, en, ew, nn_, nv = c
-        active = node != 0
-        v = jnp.roll(v, 1, axis=1)
-        p = _row(tree.parent, node)
-        a = _row(tree.parent_action, node)
-        v0 = jnp.where(active, v[:, 0], 0.0)
-        ai = active.astype(jnp.int32)
-        fe = (bidx * M + p) * A + a
-        en = en.at[fe].add(ai)
-        ew = ew.at[fe].add(v0)
-        fn = bidx * M + p
-        nn_ = nn_.at[fn].add(ai)
-        nv = nv.at[fn].add(v0)
-        return (jnp.where(active, p, 0), v, en, ew, nn_, nv)
+    TPU cost model (measured, B=1024 S=64 A=409): any *dynamic-index* write
+    to the [B,M,4,A] stats array — scatter, lane-sliced .at[].add, or
+    dynamic-update-slice — rewrites (or worse) the whole 436MB buffer, so
+    the entire mutation is expressed as ONE elementwise pass
+    ``stats + einsum_delta + broadcast_row`` which XLA fuses into a single
+    bandwidth-bound kernel with the one-hot matmul feeding it:
+    - edge N/W increments along the path   -> einsum delta lanes _EN/_EW
+    - fresh child-pointer install          -> an extra einsum "level" whose
+      lane-_CHILD weight is ``slot`` (add == set: a fresh edge's lane is 0)
+    - the expanded node's prior row        -> broadcast outer-product add on
+      lane _PVALID (row starts at -1, so adding ``pvalid+1`` sets it)
+    """
+    B, M, _, A = tree.stats.shape
+    S = path_p.shape[1]
+    P = value_vec.shape[1]
+    mmt = _mm_dtype()
+    lv = jnp.arange(S, dtype=jnp.int32)[None, :]                    # [1, S]
+    mask = lv < depth[:, None]                                      # [B, S]
 
-    init = (leaf, value_vec, en, ew, nn_, nv)
-    _, _, en, ew, nn_, nv = jax.lax.while_loop(cond, body, init)
-    return tree._replace(edge_n=en, edge_w=ew,
-                         node_n=nn_.reshape(B, M),
-                         node_vsum=nv.reshape(B, M))
+    # per-level backup value: value_vec[(-(depth - l)) mod P]
+    roll_idx = jnp.mod(-(depth[:, None] - lv), P)                   # [B, S]
+    v_l = jnp.einsum(
+        "bsp,bp->bs",
+        jax.nn.one_hot(roll_idx, P, dtype=value_vec.dtype), value_vec)
+    v_l = jnp.where(mask, v_l, 0.0)
+
+    # node scalars: every path_p node (the strict ancestors) gets +1 / +v_l;
+    # full-width (8-lane) delta so the add is unstrided.
+    onehot_p = jax.nn.one_hot(jnp.where(mask, path_p, M), M,
+                              dtype=mmt)                             # [B, S, M]
+    w_sc = jnp.zeros((B, S, 8), mmt)\
+        .at[:, :, _NN].set(mask.astype(mmt))\
+        .at[:, :, _NV].set(v_l.astype(mmt))
+    dsc = jnp.einsum("bsm,bsv->bmv", onehot_p, w_sc,
+                     preferred_element_type=jnp.float32)             # [B, M, 8]
+    node_sc = tree.node_sc + dsc
+
+    # edge stats + child install: one one-hot einsum over S+1 "levels"
+    pp = jnp.concatenate([jnp.where(mask, path_p, M), parent[:, None]], 1)
+    pa = jnp.concatenate([path_a, action[:, None]], 1)               # [B, S+1]
+    w = jnp.zeros((B, S + 1, 4), mmt)\
+        .at[:, :S, _EN].set(mask.astype(mmt))\
+        .at[:, :S, _EW].set(v_l.astype(mmt))\
+        .at[:, S, _CHILD].set(jnp.where(fresh, jnp.float32(slot), 0.0)
+                              .astype(mmt))
+    onehot_pp = jax.nn.one_hot(pp, M, dtype=mmt)                     # [B,S+1,M]
+    onehot_a = jax.nn.one_hot(pa, A, dtype=mmt)                      # [B,S+1,A]
+    va = onehot_a[:, :, None, :] * w[..., None]                      # [B,S+1,4,A]
+    delta = jnp.einsum("bsm,bsva->bmva", onehot_pp, va,
+                       preferred_element_type=jnp.float32)           # [B,M,4,A]
+
+    # expanded node's prior row: broadcast outer product, fused into the add
+    onehot_slot = jax.nn.one_hot(slot, M, dtype=jnp.float32)         # [M]
+    lane_pv = jax.nn.one_hot(_PVALID, 4, dtype=jnp.float32)          # [4]
+    row_add = (onehot_slot[None, :, None, None] * lane_pv[None, None, :, None]
+               * (pvalid_new + 1.0)[:, None, None, :])
+    stats = tree.stats + delta + row_add
+
+    return tree._replace(stats=stats, node_sc=node_sc)
 
 
 def build_search(mcts_cfg: MCTSConfig, num_players: int,
@@ -221,6 +283,7 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
     cfg = mcts_cfg
     S = cfg.num_sims
     M = S + 1
+    P = num_players
 
     def search(params, roots, rng):
         B, R, C = roots.shape
@@ -238,26 +301,22 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
                 (1.0 - cfg.dirichlet_frac) * pi0 + cfg.dirichlet_frac * noise,
                 root_valid)
 
+        root_sc = jnp.zeros((B, 8), jnp.float32).at[:, _NV].set(v0[:, 0])
         tree = Tree(
             states=jnp.zeros((B, M, R, C), jnp.int8).at[:, 0].set(roots),
-            valid=jnp.zeros((B, M, A), jnp.bool_).at[:, 0].set(root_valid),
-            prior=jnp.zeros((B, M, A), jnp.float32).at[:, 0].set(pi0),
-            children=jnp.full((B * M * A,), NO_CHILD),
-            edge_n=jnp.zeros((B * M * A,), jnp.int32),
-            edge_w=jnp.zeros((B * M * A,), jnp.float32),
-            parent=jnp.zeros((B, M), jnp.int32),
-            parent_action=jnp.zeros((B, M), jnp.int32),
-            node_n=jnp.zeros((B, M), jnp.int32),
-            node_vsum=jnp.zeros((B, M), jnp.float32).at[:, 0].set(v0[:, 0]),
-            term_val=jnp.zeros((B, M, num_players), jnp.float32),
-            is_term=jnp.zeros((B, M), jnp.bool_),
+            stats=jnp.zeros((B, M, 4, A), jnp.float32)
+                  .at[:, :, _PVALID, :].set(-1.0)
+                  .at[:, 0, _PVALID, :].set(_pack_pvalid(pi0, root_valid)),
+            node_sc=jnp.zeros((B, M, 8), jnp.float32).at[:, 0].set(root_sc),
         )
-        bidx = jnp.arange(B, dtype=jnp.int32)
+        path_p0 = jnp.full((B, S), M, jnp.int32)
+        path_a0 = jnp.zeros((B, S), jnp.int32)
 
         def sim_body(i, tree):
-            parent, action, existing = _select(cfg, tree, i)
-            fresh = existing == NO_CHILD
-            slot = jnp.int32(i + 1)                       # preallocated node id
+            parent, action, existing, depth, path_p, path_a = _select(
+                cfg, tree, i, path_p0, path_a0)
+            fresh = existing == 0
+            slot = jnp.int32(i + 1)                   # preallocated node id
 
             # Step every board's selected edge (results unused when the child
             # already exists — terminal revisits only).
@@ -273,34 +332,32 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
                 return jax.lax.dynamic_update_slice_in_dim(
                     arr, upd[:, None].astype(arr.dtype), slot, axis=1)
 
-            BMA = tree.children.size
-            fc = jnp.where(fresh, (bidx * M + parent) * A + action, BMA)
+            new_sc = jnp.zeros((B, 8), jnp.float32)\
+                .at[:, _NV].set(values[:, 0])\
+                .at[:, _NT].set(child_term.astype(jnp.float32))
+            new_sc = jax.lax.dynamic_update_slice_in_dim(
+                new_sc, term_vec, _NTV, axis=1)
             tree = tree._replace(
                 states=dus(tree.states, child_state),
-                valid=dus(tree.valid, child_valid),
-                prior=dus(tree.prior, probs),
-                parent=dus(tree.parent, parent),
-                parent_action=dus(tree.parent_action, action),
-                node_n=dus(tree.node_n, jnp.zeros((B,), jnp.int32)),
-                node_vsum=dus(tree.node_vsum, values[:, 0]),
-                term_val=dus(tree.term_val, term_vec),
-                is_term=dus(tree.is_term, child_term),
-                children=tree.children.at[fc].set(slot, mode="drop"),
+                node_sc=dus(tree.node_sc, new_sc),
             )
 
             leaf = jnp.where(fresh, slot, existing)
-            leaf_term = _row(tree.is_term, leaf)
-            leaf_tv = _row(tree.term_val, leaf)
+            leaf_sc = _row(tree.node_sc, leaf)                     # [B, 8]
+            leaf_term = leaf_sc[:, _NT] > 0.0
+            leaf_tv = jax.lax.dynamic_slice_in_dim(leaf_sc, _NTV, P, axis=1)
             value_vec = jnp.where(leaf_term[:, None], leaf_tv, values)
-            return _backprop(tree, leaf, value_vec)
+            return _backprop_fused(tree, path_p, path_a, depth, value_vec,
+                                   parent, action, fresh, slot,
+                                   _pack_pvalid(probs, child_valid))
 
         tree = jax.lax.fori_loop(0, S, sim_body, tree)
 
-        # root row [b, node 0, :] of the flat edge array
-        counts = tree.edge_n.reshape(B, M * A)[:, :A]             # [B, A]
+        counts = tree.stats[:, 0, _EN].astype(jnp.int32)           # [B, A]
+        root_prior = jnp.maximum(tree.stats[:, 0, _PVALID], 0.0)
 
         # Root Q vector (reference MCTS.py:64-66)
-        qs = tree.node_vsum[:, 0] / (tree.node_n[:, 0] + 1.0)
+        qs = tree.node_sc[:, 0, _NV] / (tree.node_sc[:, 0, _NN] + 1.0)
         q = jnp.concatenate([
             qs[:, None],
             jnp.repeat((-qs / (num_players - 1))[:, None], num_players - 1, 1),
@@ -311,11 +368,11 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             # policy target pruning (reference MCTS.py:69-74)
             best = counts.max(axis=1, keepdims=True)
             pruned = counts - jnp.floor(
-                jnp.sqrt(cfg.k_forced * tree.prior[:, 0] * S)).astype(jnp.int32)
+                jnp.sqrt(cfg.k_forced * root_prior * S)).astype(jnp.int32)
             adj = jnp.where(counts == best, counts, pruned)
             out_counts = jnp.where(adj > 1, adj, 0).astype(jnp.float32)
 
         return SearchResult(counts=out_counts, raw_counts=counts, q=q,
-                            root_value=v0, root_prior=tree.prior[:, 0])
+                            root_value=v0, root_prior=root_prior)
 
     return search
