@@ -33,14 +33,15 @@ TPU memory/layout design (profile-driven; see docs/PERF.md history):
   in ``node_sc [B, M, 8]``; its row gather is trivial.
 - Backprop does NOT walk the tree a second time.  Selection records the
   (parent, action) path into ``[B, S]`` buffers; afterwards the whole backup
-  is (a) two dense one-hot matmul accumulations for the node scalars and
-  (b) ONE flat scatter-add over the stats array for the edge statistics plus
-  the child-pointer install (exploiting that a fresh edge's child lane is 0,
-  so add == set).  The previous per-level scatter walk cost ~200us per tree
-  level (xprof: 341ms of a 646ms search at B=1024, S=64); the fused form is
-  one ~0.6ms scatter per simulation regardless of depth.
-- Writes at the common ``slot`` index (node expansion) use
-  dynamic-update-slice, which XLA performs in place inside the fori_loop.
+  — edge N/W increments, child-pointer install, the expanded node's prior
+  row, and the node scalars — is expressed as dense one-hot matmul deltas
+  fused into single whole-array adds (see ``_backprop_fused``).  TPU scatter
+  costs ~23ns per update element (effectively serial) and ANY dynamic-index
+  write to the 436MB stats array (scatter, lane-sliced ``.at[].add``, or
+  dynamic-update-slice) rewrites the whole buffer, so the only mutations are
+  elementwise passes XLA can fuse; measured history in docs/PERF.md.
+- Small arrays (states, node_sc) still use dynamic-update-slice at the
+  common ``slot`` index; their full-buffer rewrite is a few MB and cheap.
 """
 
 from __future__ import annotations
@@ -113,7 +114,8 @@ def _normalize_masked(p, valid):
 def _row(arr, node_b):
     """arr [B, M, ...] indexed at per-board node -> [B, ...]."""
     idx = node_b.reshape((-1,) + (1,) * (arr.ndim - 1))
-    return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
+    return jnp.take_along_axis(arr, idx, axis=1,
+                               mode="promise_in_bounds")[:, 0]
 
 
 def _pack_pvalid(probs, valid):
@@ -175,9 +177,11 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a):
         a = _ucb_pick_rows(cfg, prior_r, valid_r, en_r, ew_r, nn_, qs,
                            sim_idx, node == 0)
         child = jnp.take_along_axis(
-            row[:, _CHILD], a[:, None], axis=1)[:, 0].astype(jnp.int32)
+            row[:, _CHILD], a[:, None], axis=1,
+            mode="promise_in_bounds")[:, 0].astype(jnp.int32)
         term_c = jnp.take_along_axis(
-            tree.node_sc[:, :, _NT], child[:, None], axis=1)[:, 0] > 0.0
+            tree.node_sc[:, :, _NT], child[:, None], axis=1,
+            mode="promise_in_bounds")[:, 0] > 0.0
         now_stop = (child == 0) | term_c
 
         # record the traversed edge for boards still descending
