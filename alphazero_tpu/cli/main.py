@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", "-P", action="store_true",
                    help="run one profiled iteration with jax.profiler")
+    p.add_argument("--distributed", action="store_true",
+                   help="join a multi-host run (JAX_COORDINATOR_ADDRESS / "
+                        "JAX_NUM_PROCESSES / JAX_PROCESS_ID, or TPU pod "
+                        "auto-detection)")
     return p
 
 
@@ -90,6 +94,9 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     args = build_parser().parse_args(argv)
+    if args.distributed:
+        from ..parallel import distributed as D
+        D.initialize()
     coach = Coach(args_to_config(args))
     if args.load_folder_file:
         import os
