@@ -78,6 +78,11 @@ class MCTSConfig:
     dirichlet_frac: float = 0.25
     prior_temp: float = 1.0           # softmax temp on root priors with noise
     add_noise: bool = False
+    # Use the Pallas fused-backup kernel (ops/fused_backup.py) for the edge
+    # update instead of the XLA einsum.  Both are MXU-padding-bound on this
+    # shape; measured on v5e the einsum is slightly faster (1.8ms vs 2.1ms
+    # per sim at B=1024 S=64), so this stays off by default — see docs/PERF.md.
+    pallas_backup: bool = False
 
 
 class Tree(NamedTuple):
@@ -208,7 +213,8 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a):
 
 
 def _backprop_fused(tree: Tree, path_p, path_a, depth, value_vec,
-                    parent, action, fresh, slot, pvalid_new):
+                    parent, action, fresh, slot, pvalid_new,
+                    pallas_backup: bool = False):
     """Whole-path backup + node expansion in O(1) dense device passes
     (reference MCTS.py:168-176).
 
@@ -253,6 +259,17 @@ def _backprop_fused(tree: Tree, path_p, path_a, depth, value_vec,
     dsc = jnp.einsum("bsm,bsv->bmv", onehot_p, w_sc,
                      preferred_element_type=jnp.float32)             # [B, M, 8]
     node_sc = tree.node_sc + dsc
+
+    if pallas_backup:
+        from ..ops.fused_backup import fused_backup
+        w2 = jnp.stack([mask.astype(jnp.float32), v_l], -1)      # [B, S, 2]
+        stats = fused_backup(
+            tree.stats, jnp.where(mask, path_p, M), path_a, w2,
+            parent, action,
+            jnp.where(fresh, jnp.float32(slot), 0.0),
+            pvalid_new + 1.0, slot,
+            interpret=jax.default_backend() != "tpu")
+        return tree._replace(stats=stats, node_sc=node_sc)
 
     # edge stats + child install: one one-hot einsum over S+1 "levels"
     pp = jnp.concatenate([jnp.where(mask, path_p, M), parent[:, None]], 1)
@@ -353,7 +370,8 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             value_vec = jnp.where(leaf_term[:, None], leaf_tv, values)
             return _backprop_fused(tree, path_p, path_a, depth, value_vec,
                                    parent, action, fresh, slot,
-                                   _pack_pvalid(probs, child_valid))
+                                   _pack_pvalid(probs, child_valid),
+                                   pallas_backup=cfg.pallas_backup)
 
         tree = jax.lax.fori_loop(0, S, sim_body, tree)
 
