@@ -17,7 +17,12 @@ Design (vs the reference's in-place Numba jitclass, SplendorLogicNumba.py:84-775
   * ``pass`` (action 408) is a proper no-op; the reference's dispatch falls
     through to an out-of-bounds exchange (SplendorLogicNumba.py:285).
   * noble-select actions 405-407 are never legal by default (the reference's
-    ``_valid_select_noble`` is unfinished, SplendorLogicNumba.py:682-683).
+    ``_valid_select_noble`` is unfinished, SplendorLogicNumba.py:682-683);
+    ``enable_noble_select=True`` implements the intended feature properly:
+    when a move makes >=2 nobles eligible the mover keeps the turn and must
+    play action 405+k = "take the (k+1)-th eligible noble" (eligibility
+    flags ride column 5 of the noble rows, so they canonicalize and are
+    NN-observable; exactly one eligible noble still auto-awards).
   * per-player noble blocks / swaps use ``num_nobles`` rows for every player
     count (the reference hard-codes 3, correct only for 2 players;
     SplendorLogicNumba.py:219,345).
@@ -45,6 +50,10 @@ class SplendorConfig:
     token_limit: int = 10          # NUM_TOKEN_LIMIT (handicap lever)
     enable_reserve: bool = True    # ENABLE_ACTION_RESERVE
     enable_giveback: bool = True   # ENABLE_ACTION_GIVEBACK
+    # Completed version of the reference's unfinished noble-choice feature
+    # (actions 405-407); see module docstring.  Off = reference behavior
+    # (_give_nobles_if_earned awards every eligible noble at once).
+    enable_noble_select: bool = False
     score_win: int = 15
 
     @property
@@ -345,7 +354,17 @@ def valid_moves(cfg: SplendorConfig, state: jnp.ndarray, player) -> jnp.ndarray:
     valid = valid.at[27:30].set(buyrsv_ok)
     valid = valid.at[30:60].set(take_ok)
     valid = valid.at[60:405].set(ex_ok[60:405])
-    # noble-select 405-407: disabled (reference WIP); pass iff nothing else
+    if cfg.enable_noble_select:
+        # pending noble choice: only "select the (k+1)-th eligible noble"
+        # actions are legal (module docstring); k over at most 3 choices
+        flags = state[cfg.row_nobles:cfg.row_nobles + cfg.num_nobles, 5]
+        n_elig = flags.astype(i32).sum()
+        sel = jnp.zeros(T.NUM_ACTIONS, jnp.bool_)
+        for k in range(T.A_PASS - T.A_NOBLE):
+            sel = sel.at[T.A_NOBLE + k].set(k < n_elig)
+        valid = jnp.where(n_elig > 0, sel, valid)
+    # noble-select 405-407 otherwise: disabled (reference WIP);
+    # pass iff nothing else
     valid = valid.at[T.A_PASS].set(~valid[:T.A_PASS].any())
     return valid
 
@@ -355,8 +374,24 @@ def valid_moves(cfg: SplendorConfig, state: jnp.ndarray, player) -> jnp.ndarray:
 # ----------------------------------------------------------------------------
 def _award_nobles(cfg, state, player):
     """Give every noble whose requirement the player now meets (reference
-    _give_nobles_if_earned, SplendorLogicNumba.py:763-768)."""
+    _give_nobles_if_earned, SplendorLogicNumba.py:763-768).
+
+    With ``enable_noble_select``: >=2 eligible nobles set the pending-choice
+    flags (column 5 of the noble rows) instead of awarding — the mover must
+    then play a noble-select action (405-407)."""
     pc = _player_cards(cfg, state, player)[:5]
+    if cfg.enable_noble_select:
+        eligible = jnp.stack([
+            (state[cfg.row_nobles + i, :5].astype(i32).sum() > 0)
+            & (pc >= state[cfg.row_nobles + i, :5].astype(i32)).all()
+            for i in range(cfg.num_nobles)])
+        flagged = state
+        for i in range(cfg.num_nobles):
+            flagged = flagged.at[cfg.row_nobles + i, 5].set(
+                eligible[i].astype(i8))
+        awarded_all = _award_nobles(
+            dataclasses.replace(cfg, enable_noble_select=False), state, player)
+        return jnp.where(eligible.sum() >= 2, flagged, awarded_all)
     for i in range(cfg.num_nobles):
         noble = state[cfg.row_nobles + i].astype(i32)
         earned = (noble[:5].sum() > 0) & (pc >= noble[:5]).all()
@@ -472,10 +507,36 @@ def step(cfg: SplendorConfig, state: jnp.ndarray, action, player,
     def k_noop(s):
         return s
 
+    def k_noble(s):
+        # award the (k+1)-th flagged noble, clear every pending flag
+        k = action - T.A_NOBLE
+        flags = s[cfg.row_nobles:cfg.row_nobles + cfg.num_nobles, 5].astype(i32)
+        cum = jnp.cumsum(flags)
+        hit = (flags > 0) & (cum == k + 1)
+        for i in range(cfg.num_nobles):
+            noble = s[cfg.row_nobles + i].astype(i32).at[5].set(0)
+            dst = cfg.row_pnobles + cfg.num_nobles * player + i
+            taken = _set_row(_set_row(s, dst, noble),
+                             cfg.row_nobles + i, jnp.zeros(7, i32))
+            s = jnp.where(hit[i], taken, s)
+            s = s.at[cfg.row_nobles + i, 5].set(0)
+        return s
+
     state = jax.lax.switch(kind, [k_buy, k_reserve, k_buy_reserve, k_gems,
-                                  k_rsvg, k_noop, k_noop], state)
-    state = state.at[0, 6].add(1)      # round counter, int8 wrap like reference
-    next_player = (player + 1) % cfg.num_players
+                                  k_rsvg,
+                                  k_noble if cfg.enable_noble_select else k_noop,
+                                  k_noop], state)
+    if cfg.enable_noble_select:
+        # a pending noble choice keeps the turn with the mover and defers
+        # the round-counter tick to the completed turn
+        pend = state[cfg.row_nobles:cfg.row_nobles + cfg.num_nobles, 5]\
+            .astype(i32).sum() > 0
+        adv = jnp.where(pend, 0, 1)
+        state = state.at[0, 6].add(adv.astype(i8))
+        next_player = (player + adv) % cfg.num_players
+    else:
+        state = state.at[0, 6].add(1)  # round counter, int8 wrap like reference
+        next_player = (player + 1) % cfg.num_players
     return state, next_player
 
 
