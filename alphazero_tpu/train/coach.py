@@ -123,6 +123,11 @@ class Coach:
         dt = time.time() - t0
         stats_acc["seconds"] = dt
         stats_acc["rollouts_per_s"] = stats_acc["rollouts"] / max(dt, 1e-9)
+        if stats_acc["examples"] >= cfg.max_examples_per_iter:
+            log.warning(
+                "saturation of examples (%d >= max_examples_per_iter=%d): "
+                "think about decreasing games_per_iter or raising the cap",
+                stats_acc["examples"], cfg.max_examples_per_iter)
         if its:
             from .replay import Iteration
             merged = Iteration(*(np.concatenate([getattr(i, f) for i in its])
@@ -152,6 +157,7 @@ class Coach:
     def learn(self, on_iteration=None):
         cfg = self.cfg
         CKPT.save_settings(cfg.checkpoint_dir, dataclasses.asdict(cfg))
+        CKPT.save_code_snapshot(cfg.checkpoint_dir)
         for it in range(1, cfg.num_iters + 1):
             log.info("Iter %d: self-play...", it)
             sp_stats = self.self_play_iteration()
@@ -196,8 +202,15 @@ class Coach:
                 on_iteration(it, sp_stats, metrics, (nw, ow, dr), accept)
 
     # --------------------------------------------------------------- resume
-    def load_checkpoint(self, folder, filename):
+    def load_checkpoint(self, folder, filename, load_examples=True):
         ckpt = CKPT.load_checkpoint(folder, filename)
+        ex_path = os.path.join(folder, "checkpoint.examples")
+        if load_examples and os.path.exists(ex_path):
+            self.replay = ReplayBuffer.load(
+                ex_path, history=self.cfg.history,
+                max_per_iter=self.cfg.max_examples_per_iter)
+            log.info("resumed %d replay examples from %s",
+                     len(self.replay), ex_path)
         params = CKPT.transfer_partial(ckpt["params"], self.train_state.params)
         self.train_state = self.train_state._replace(
             params=jax.tree_util.tree_map(jax.numpy.asarray, params),

@@ -97,3 +97,34 @@ def compare_settings(folder: str, settings: dict,
         if json.dumps(a, default=str) != json.dumps(b, default=str):
             diff[k] = (a, b)
     return diff
+
+
+def save_code_snapshot(folder: str):
+    """Record exactly what code produced a run (reference main.py:54-56 backs
+    up *.py into the checkpoint dir; here: git revision + working-tree diff,
+    falling back to an archive of the package when not in a git checkout)."""
+    import subprocess
+    os.makedirs(folder, exist_ok=True)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        rev = subprocess.run(["git", "-C", pkg_root, "rev-parse", "HEAD"],
+                             capture_output=True, text=True, check=True,
+                             timeout=10).stdout.strip()
+        diff = subprocess.run(["git", "-C", pkg_root, "diff", "HEAD"],
+                              capture_output=True, text=True, check=True,
+                              timeout=30).stdout
+        with open(os.path.join(folder, "code_snapshot.txt"), "w") as f:
+            f.write(f"revision: {rev}\n")
+            if diff:
+                f.write("--- uncommitted diff ---\n")
+                f.write(diff)
+        return
+    except Exception:
+        pass
+    import tarfile
+    pkg = os.path.join(pkg_root, "alphazero_tpu")
+    with tarfile.open(os.path.join(folder, "code_snapshot.tar.gz"),
+                      "w:gz") as tar:
+        tar.add(pkg, arcname="alphazero_tpu",
+                filter=lambda ti: None if "__pycache__" in ti.name else ti)

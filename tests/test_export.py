@@ -38,3 +38,22 @@ def test_export_roundtrip(tmp_path):
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_native_replay_core_roundtrip():
+    """C++ replay core (native/replay_core.cpp) vs the zlib/numpy fallback."""
+    import numpy as np
+    from alphazero_tpu.utils import native
+
+    data = np.random.default_rng(0).integers(0, 127, 10_000,
+                                             dtype=np.int8).tobytes()
+    c = native.compress(data, level=1)
+    assert native.decompress(c, len(data)) == data
+    if native.have_native():
+        import zlib
+        assert zlib.decompress(c) == data    # wire-format compatible
+    ids = native.sample_uniform(1000, 64, seed=7)
+    assert ids.shape == (64,) and ids.max() < 1000
+    w = np.random.default_rng(1).random(1000).astype(np.float32)
+    ids2 = native.sample_weighted(w, 64, seed=7)
+    assert ids2.shape == (64,) and ids2.max() < 1000
