@@ -28,8 +28,8 @@ class MatchResult:
     moves: int
 
     def tally(self, seat_of_agent: list[int]):
-        """wins per agent index given seat assignment (2-player)."""
-        wins = [0] * len(set(seat_of_agent))
+        """wins per agent index given one entry per seat (N-player aware)."""
+        wins = [0] * (max(seat_of_agent) + 1)
         draws = 0
         for r in self.outcomes:
             top = np.flatnonzero(r > 0)

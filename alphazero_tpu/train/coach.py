@@ -97,7 +97,8 @@ class Coach:
             A.make_search_step_fn(self.env_cfg),
             A.make_valid_fn(self.env_cfg))
         self._gate_match = AR.FusedMatch(
-            self.env_cfg, self.gate_search, max(cfg.arena_games // 2, 1))
+            self.env_cfg, self.gate_search,
+            max(cfg.arena_games // cfg.num_players, 1))
 
         self.replay = ReplayBuffer(history=cfg.history,
                                    max_per_iter=cfg.max_examples_per_iter)
@@ -144,13 +145,19 @@ class Coach:
         return metrics
 
     def gate(self, old_bundle) -> tuple[bool, tuple[int, int, int]]:
+        """New net vs previous best with full seat rotation: the candidate
+        occupies each of the N seats in turn (generalizes the reference's
+        1-2/2-1 alternation, Arena.py:195-202, to N players)."""
+        n = self.cfg.num_players
         self.key, k = jax.random.split(self.key)
-        k1, k2 = jax.random.split(k)
-        r1 = self._gate_match.play([self.bundle, old_bundle], k1)
-        r2 = self._gate_match.play([old_bundle, self.bundle], k2)
-        w1, d1 = r1.tally([0, 1])
-        w2, d2 = r2.tally([1, 0])
-        nw, ow, dr = w1[0] + w2[0], w1[1] + w2[1], d1 + d2
+        nw = ow = dr = 0
+        for r, kr in enumerate(jax.random.split(k, n)):
+            seats = [self.bundle if p == r else old_bundle for p in range(n)]
+            wins, d = self._gate_match.play(seats, kr).tally(
+                [0 if p == r else 1 for p in range(n)])
+            nw += wins[0]
+            ow += wins[1]
+            dr += d
         accept = (nw + ow) > 0 and nw / (nw + ow) >= self.cfg.update_threshold
         return accept, (nw, ow, dr)
 

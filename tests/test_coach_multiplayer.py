@@ -1,0 +1,29 @@
+"""3-player end-to-end Coach iteration (BASELINE config 3 smoke).
+
+Regression for the N-player arena gate: the candidate bundle must rotate
+through all N seats and tallying must handle winner seats beyond the agent
+count."""
+
+import jax
+import numpy as np
+
+from alphazero_tpu.train.coach import Coach, CoachConfig
+
+
+def test_three_player_learn_iteration(tmp_path):
+    cfg = CoachConfig(num_players=3, num_iters=1, games_per_iter=4,
+                      selfplay_batch=4, num_sims=8, ratio_full=2,
+                      prob_full=0.5, arena_games=3, gate_num_sims=6,
+                      epochs=1, batch_size=8,
+                      checkpoint_dir=str(tmp_path), seed=3)
+    coach = Coach(cfg)
+    seen = {}
+
+    def cb(it, sp, metrics, gate, accept):
+        seen["sp"], seen["metrics"], seen["gate"] = sp, metrics, gate
+
+    coach.learn(on_iteration=cb)
+    assert seen["sp"]["examples"] > 0
+    assert np.isfinite(seen["metrics"]["loss"])
+    nw, ow, dr = seen["gate"]
+    assert nw + ow + dr == 3   # one game per seat rotation
