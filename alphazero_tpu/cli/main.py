@@ -103,12 +103,12 @@ def main(argv=None):
         coach.load_checkpoint(os.path.dirname(args.load_folder_file),
                               os.path.basename(args.load_folder_file))
     if args.profile:
-        import jax
+        from ..utils import profiling
         coach.cfg = CoachConfig(**{**vars(coach.cfg), "num_iters": 1,
                                    "games_per_iter": coach.cfg.selfplay_batch})
-        with jax.profiler.trace("./jax-trace"):
+        with profiling.trace("./jax-trace"):
             coach.learn()
-        log.info("profile written to ./jax-trace")
+        profiling.print_top_ops("./jax-trace")
     else:
         coach.learn()
 
