@@ -71,7 +71,7 @@ class BatchArena:
                 s2, nxt = jax.vmap(
                     lambda s, a, uu: E.step(scfg, s, a, player, uu, False)
                 )(states, actions, u)
-                return s2, nxt[0]
+                return s2, nxt
             return jax.jit(_step)
 
         self.init = jax.jit(_init)
@@ -113,7 +113,17 @@ class BatchArena:
             key, ka, ku = jax.random.split(key, 3)
             actions = agents[player](canon, ka)
             states, nxt = self.step(states, actions, player, ku)
-            player = int(nxt)
+            pending = np.asarray(nxt) == player
+            if cfg.enable_noble_select and pending.any():
+                # same mover picks a noble; boards without a pending choice
+                # keep their stepped state
+                key, ka2, ku2 = jax.random.split(key, 3)
+                canon2 = self.canon(states, player)
+                acts2 = agents[player](canon2, ka2)
+                stepped2, _ = self.step(states, acts2, player, ku2)
+                states = jnp.where(
+                    jnp.asarray(pending)[:, None, None], stepped2, states)
+            player = (player + 1) % cfg.num_players
             moves += 1
             ends = np.asarray(self.ends(states))
             newly = ends.any(1) & ~done
@@ -193,18 +203,41 @@ class FusedMatch:
         def _chunk(bundles, states, offset, done, results, key):
             def body(carry, key_t):
                 states, offset, done, results = carry
-                ks, ku = jax.random.split(key_t)
+                ks, ku, kn = jax.random.split(key_t, 3)
                 bundle = jax.tree_util.tree_map(lambda x: x[offset], bundles)
                 res = search_fn(bundle, states, ks)
                 actions = jnp.argmax(res.counts, axis=-1)
                 u = jax.random.uniform(ku, (batch_size, 2))
 
-                def step1(s, a, uu, d):
-                    s2, _ = E.step(cfg, s, a, 0, uu, False)
+                def step_main(s, a, uu, d):
+                    s2, nxt = E.step(cfg, s, a, 0, uu, False)
                     s2 = jnp.where(d, s, s2)
-                    return E.swap_players(cfg, s2, 1)
+                    adv = jnp.where(d, 1, jnp.asarray(nxt, jnp.int32))
+                    return s2, adv
 
-                states2 = jax.vmap(step1)(states, actions, u, done)
+                states_mid, adv = jax.vmap(step_main)(states, actions, u,
+                                                      done)
+                if cfg.enable_noble_select:
+                    # resolve a pending noble choice inside the macro-move
+                    # (same mover, hence the SAME seat bundle) so every board
+                    # advances exactly one seat per scan step
+                    pend = adv == 0
+
+                    def resolve(states_mid):
+                        kn2, ku2 = jax.random.split(kn)
+                        res2 = search_fn(bundle, states_mid, kn2)
+                        acts2 = jnp.argmax(res2.counts, axis=-1)
+                        u2 = jax.random.uniform(ku2, (batch_size, 2))
+                        s3 = jax.vmap(
+                            lambda s, a, uu: E.step(cfg, s, a, 0, uu,
+                                                    False)[0]
+                        )(states_mid, acts2, u2)
+                        return jnp.where(pend[:, None, None], s3, states_mid)
+
+                    states_mid = jax.lax.cond(pend.any(), resolve,
+                                              lambda s: s, states_mid)
+                states2 = jax.vmap(
+                    lambda s: E.swap_players(cfg, s, 1))(states_mid)
                 offset2 = (offset + 1) % n
                 ends = jnp.roll(jax.vmap(
                     lambda s: E.check_end_game(cfg, s))(states2),

@@ -51,14 +51,16 @@ def make_search_step_fn(cfg: E.SplendorConfig):
     """In-tree transition: deterministic step (chance collapsed) from the
     canonical frame, re-canonicalize for the next seat, then terminal +
     validity (reference get_next_best_action_and_canonical_state,
-    MCTS.py:222-237)."""
+    MCTS.py:222-237).  The 4th output is the seat advance of the edge (how
+    many seats the turn moved on) — always 1 except for a pending
+    noble-select ply (enable_noble_select), where the mover keeps the turn."""
     def step_fn(state, action):
         s2, nxt = E.step(cfg, state, action, 0, jnp.zeros(2, jnp.float32),
                          jnp.asarray(True))
         s2 = E.swap_players(cfg, s2, nxt)
         term = E.check_end_game(cfg, s2)
         valid = E.valid_moves(cfg, s2, 0)
-        return s2, term, valid
+        return s2, term, valid, jnp.asarray(nxt, jnp.int32)
     return step_fn
 
 

@@ -64,6 +64,11 @@ _EW = 3       # edge value sum W(s,a) (node-frame v[0] backups)
 _NN = 0       # node visit count Ns
 _NV = 1       # node value sum (Qs numerator; leaf eval + backups)
 _NT = 2       # 1.0 if terminal
+_NC = 3       # cumulative seat rotation mod P from the root (0 at the root).
+              # Normally each edge advances one seat, but a pending
+              # noble-select ply (env enable_noble_select) keeps the mover's
+              # turn, so the rotation is tracked per node instead of being
+              # inferred from tree depth.
 _NTV = 4      # terminal value vector, lanes 4..4+P
 
 
@@ -102,8 +107,10 @@ class SearchResult(NamedTuple):
 
 # EvalFn: (params, states_f32 [B,R,7], valids [B,A]) -> (probs [B,A], v [B,P])
 EvalFn = Callable[..., tuple[jnp.ndarray, jnp.ndarray]]
-# StepFn: (state [R,7], action) -> (canonical child state, term_vec [P], valid [A])
-StepFn = Callable[..., tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+# StepFn: (state [R,7], action) ->
+#   (canonical child state, term_vec [P], valid [A], seat_advance i32)
+StepFn = Callable[..., tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray]]
 
 
 def _mm_dtype():
@@ -212,7 +219,7 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a):
     return parent, action, existing, depth, path_p, path_a
 
 
-def _backprop_fused(tree: Tree, path_p, path_a, depth, value_vec,
+def _backprop_fused(tree: Tree, path_p, path_a, depth, value_vec, leaf_rot,
                     parent, action, fresh, slot, pvalid_new,
                     pallas_backup: bool = False):
     """Whole-path backup + node expansion in O(1) dense device passes
@@ -220,8 +227,11 @@ def _backprop_fused(tree: Tree, path_p, path_a, depth, value_vec,
 
     Level l (0-based from the root) holds edge (path_p[l], path_a[l]) into
     the node at depth l+1; both that edge and node path_p[l] receive
-    ``value_vec[(-(depth - l)) mod P]`` — the seat-roll the reference applies
-    walking up.
+    ``value_vec[(rot(path_p[l]) - leaf_rot) mod P]`` — ``value_vec`` is in
+    the leaf frame, so each ancestor reads the lane of its own mover seat.
+    With one-seat-per-edge rotation this reduces to the reference's
+    ``np.roll`` walk (rot(node)=level, leaf_rot=depth); per-node rotations
+    (lane ``_NC``) generalize it to noble-select plies that keep the turn.
 
     TPU cost model (measured, B=1024 S=64 A=409): any *dynamic-index* write
     to the [B,M,4,A] stats array — scatter, lane-sliced .at[].add, or
@@ -242,8 +252,11 @@ def _backprop_fused(tree: Tree, path_p, path_a, depth, value_vec,
     lv = jnp.arange(S, dtype=jnp.int32)[None, :]                    # [1, S]
     mask = lv < depth[:, None]                                      # [B, S]
 
-    # per-level backup value: value_vec[(-(depth - l)) mod P]
-    roll_idx = jnp.mod(-(depth[:, None] - lv), P)                   # [B, S]
+    # per-level backup value: value_vec[(rot(node_l) - leaf_rot) mod P]
+    nc_path = jnp.take_along_axis(
+        tree.node_sc[:, :, _NC], jnp.where(mask, path_p, 0), axis=1,
+        mode="promise_in_bounds").astype(jnp.int32)                 # [B, S]
+    roll_idx = jnp.mod(nc_path - leaf_rot[:, None], P)              # [B, S]
     v_l = jnp.einsum(
         "bsp,bp->bs",
         jax.nn.one_hot(roll_idx, P, dtype=value_vec.dtype), value_vec)
@@ -342,8 +355,10 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             # Step every board's selected edge (results unused when the child
             # already exists — terminal revisits only).
             parent_states = _row(tree.states, parent)
-            child_state, term_vec, child_valid = jax.vmap(step_fn)(
+            parent_rot = _row(tree.node_sc, parent)[:, _NC]
+            child_state, term_vec, child_valid, adv = jax.vmap(step_fn)(
                 parent_states, action)
+            child_rot = jnp.mod(parent_rot + adv.astype(jnp.float32), P)
             probs, values = eval_fn(params, child_state.astype(jnp.float32),
                                     child_valid)
             probs = _normalize_masked(probs, child_valid)
@@ -355,7 +370,8 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
 
             new_sc = jnp.zeros((B, 8), jnp.float32)\
                 .at[:, _NV].set(values[:, 0])\
-                .at[:, _NT].set(child_term.astype(jnp.float32))
+                .at[:, _NT].set(child_term.astype(jnp.float32))\
+                .at[:, _NC].set(child_rot)
             new_sc = jax.lax.dynamic_update_slice_in_dim(
                 new_sc, term_vec, _NTV, axis=1)
             tree = tree._replace(
@@ -366,10 +382,11 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             leaf = jnp.where(fresh, slot, existing)
             leaf_sc = _row(tree.node_sc, leaf)                     # [B, 8]
             leaf_term = leaf_sc[:, _NT] > 0.0
+            leaf_rot = leaf_sc[:, _NC].astype(jnp.int32)
             leaf_tv = jax.lax.dynamic_slice_in_dim(leaf_sc, _NTV, P, axis=1)
             value_vec = jnp.where(leaf_term[:, None], leaf_tv, values)
             return _backprop_fused(tree, path_p, path_a, depth, value_vec,
-                                   parent, action, fresh, slot,
+                                   leaf_rot, parent, action, fresh, slot,
                                    _pack_pvalid(probs, child_valid),
                                    pallas_backup=cfg.pallas_backup)
 

@@ -106,6 +106,25 @@ class SelfPlayEngine:
         search_fast_fn = M.build_search(fast, self.n, eval_fn, step_fn, valid_fn)
         n = self.n
 
+        def _resolve_nobles(bundle, states_mid, adv, key):
+            """Boards whose last step left a pending noble choice (adv==0)
+            pick a noble via a fast search in the same mover's frame; all
+            other boards pass through untouched."""
+            pend = adv == 0
+
+            def resolve(states_mid):
+                kn, ku2 = jax.random.split(key)
+                res2 = search_fast_fn(bundle, states_mid, kn)
+                acts2 = jnp.argmax(res2.counts, axis=-1).astype(jnp.int32)
+                u2 = jax.random.uniform(ku2, (states_mid.shape[0], 2))
+                s3 = jax.vmap(
+                    lambda s, a, uu: E.step(ecfg, s, a, 0, uu, False)[0]
+                )(states_mid, acts2, u2)
+                return jnp.where(pend[:, None, None], s3, states_mid)
+
+            return jax.lax.cond(pend.any(), resolve,
+                                lambda s: s, states_mid)
+
         # States are kept CANONICAL throughout (current player at seat 0), a
         # scalar rotation offset tracks which absolute player that is.  Every
         # env call then uses the static player index 0, so all per-player row
@@ -115,7 +134,7 @@ class SelfPlayEngine:
         def _chunk(bundle, states, offset, move0, done, results, key):
             def body(carry, key_t):
                 states, offset, move, done, results = carry
-                k_full, ks, ka, ku = jax.random.split(key_t, 4)
+                k_full, ks, ka, ku, kn = jax.random.split(key_t, 5)
                 valids = jax.vmap(valid_fn)(states)
                 is_full = jax.random.uniform(k_full) < cfg.prob_full
                 res = jax.lax.cond(
@@ -131,12 +150,23 @@ class SelfPlayEngine:
                 # the position at termination, like the reference which stops
                 # each game there, Coach.py:88) but still rotate seats so the
                 # whole batch shares one canonical rotation offset.
-                def step1(s, a, uu, d):
-                    s2, _ = E.step(ecfg, s, a, 0, uu, False)
+                def step_main(s, a, uu, d):
+                    s2, nxt = E.step(ecfg, s, a, 0, uu, False)
                     s2 = jnp.where(d, s, s2)
-                    return E.swap_players(ecfg, s2, 1)
+                    adv = jnp.where(d, 1, jnp.asarray(nxt, jnp.int32))
+                    return s2, adv
 
-                states2 = jax.vmap(step1)(states, actions, u, done)
+                states_mid, adv = jax.vmap(step_main)(states, actions, u, done)
+                if ecfg.enable_noble_select:
+                    # A pending noble choice keeps the mover's turn (adv==0).
+                    # Resolve it INSIDE the macro-move with a fast search so
+                    # the whole batch still advances exactly one seat (keeps
+                    # the shared canonical rotation).  The noble ply itself is
+                    # not stored as a training example; its visit counts still
+                    # steer play.
+                    states_mid = _resolve_nobles(bundle, states_mid, adv, kn)
+                states2 = jax.vmap(
+                    lambda s: E.swap_players(ecfg, s, 1))(states_mid)
                 offset2 = (offset + 1) % n
                 ends_rel = jax.vmap(
                     lambda s: E.check_end_game(ecfg, s))(states2)

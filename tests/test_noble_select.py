@@ -94,6 +94,43 @@ def test_flag_off_awards_all_at_once():
                                   np.asarray(T.ALL_NOBLES[1][:5]))
 
 
+def test_search_backup_through_kept_turn():
+    """Value backup must follow per-node seat rotation, not tree depth.
+
+    Root: player 0 can buy card 0, which triggers a PENDING noble choice —
+    the buy edge leads to a child where the same player moves again.  With a
+    score-diff evaluator the buy is clearly good for the mover; a depth-based
+    seat roll (one seat per edge) would flip its backed-up value and the
+    search would avoid it."""
+    from alphazero_tpu.games.splendor import adapter as A_
+    from alphazero_tpu.search import mcts as M
+
+    def eval_fn(params, states_f32, valids):
+        probs = valids.astype(jnp.float32)
+        probs = probs / jnp.maximum(probs.sum(-1, keepdims=True), 1e-9)
+
+        def val(s):
+            si = s.astype(jnp.int8)
+            d = (E.get_score(CFG, si, 0) - E.get_score(CFG, si, 1)) / 15.0
+            v0 = jnp.clip(d.astype(jnp.float32), -1.0, 1.0)
+            return jnp.stack([v0, -v0])
+
+        return probs, jax.vmap(val)(states_f32)
+
+    search = jax.jit(M.build_search(
+        M.MCTSConfig(num_sims=48), 2, eval_fn,
+        A_.make_search_step_fn(CFG), A_.make_valid_fn(CFG)))
+    root = _two_noble_state(CFG)
+    res = search(None, root[None], jax.random.PRNGKey(0))
+    counts = np.asarray(res.raw_counts)[0]
+    assert counts.sum() == 48
+    # a buy dominates (any buy triggers the pending-noble kept turn; a
+    # depth-rolled backup would make every buy look losing and the search
+    # would sit on zero-value gem moves instead)
+    assert int(counts.argmax()) < 12, counts.nonzero()
+    assert float(np.asarray(res.q)[0, 0]) > 0.05
+
+
 def test_noble_select_under_jit_and_search():
     """The flagged env still jits and a small search runs over it."""
     from alphazero_tpu.games.splendor import adapter as A_
