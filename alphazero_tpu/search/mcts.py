@@ -163,11 +163,14 @@ def _ucb_pick_rows(cfg: MCTSConfig, prior_r, valid_r, en_r, ew_r, ns, qs,
     return best
 
 
-def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a):
+def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r):
     """Batched tree descent with path recording.
 
     Returns (parent [B], action [B], existing [B] — 0 if the chosen edge is
-    unexpanded, depth [B] — number of edges on the path, path_p, path_a)."""
+    unexpanded, depth [B] — number of edges on the path, parent_rot [B] —
+    the stopping node's seat rotation, path_p, path_a, path_r).  Each path
+    node's rotation (lane ``_NC``) is recorded during the descent itself, so
+    backprop never re-gathers node rows."""
     B, M, _, A = tree.stats.shape
     zeros = jnp.zeros((B,), jnp.int32)
 
@@ -175,8 +178,8 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a):
         return ~c[3].all()
 
     def body(c):
-        (node, parent, action, stop, depth, level, path_p, path_a,
-         existing) = c
+        (node, parent, action, stop, depth, level, path_p, path_a, path_r,
+         existing, prot) = c
         row = _row(tree.stats, node)                       # [B, 4, A]
         nsc = _row(tree.node_sc, node)                     # [B, 8]
         pv = row[:, _PVALID]
@@ -185,6 +188,7 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a):
         en_r = row[:, _EN]
         ew_r = row[:, _EW]
         nn_ = nsc[:, _NN]
+        rot = nsc[:, _NC].astype(jnp.int32)
         qs = nsc[:, _NV] / (nn_ + 1.0)
         a = _ucb_pick_rows(cfg, prior_r, valid_r, en_r, ew_r, nn_, qs,
                            sim_idx, node == 0)
@@ -199,28 +203,33 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a):
         # record the traversed edge for boards still descending
         rec_p = jnp.where(stop, M, node)       # M = one-hot drop sentinel
         rec_a = jnp.where(stop, 0, a)
+        rec_r = jnp.where(stop, 0, rot)
         path_p = jax.lax.dynamic_update_slice_in_dim(
             path_p, rec_p[:, None], level, axis=1)
         path_a = jax.lax.dynamic_update_slice_in_dim(
             path_a, rec_a[:, None], level, axis=1)
+        path_r = jax.lax.dynamic_update_slice_in_dim(
+            path_r, rec_r[:, None], level, axis=1)
         depth = depth + (~stop).astype(jnp.int32)
 
         parent = jnp.where(stop, parent, node)
         action = jnp.where(stop, action, a)
         existing = jnp.where(stop, existing, child)
+        prot = jnp.where(stop, prot, rot)
         nxt = jnp.where(stop | now_stop, node, child)
         return (nxt, parent, action, stop | now_stop, depth,
-                level + 1, path_p, path_a, existing)
+                level + 1, path_p, path_a, path_r, existing, prot)
 
     init = (zeros, zeros, zeros, jnp.zeros((B,), jnp.bool_), zeros,
-            jnp.int32(0), path_p, path_a, zeros)
+            jnp.int32(0), path_p, path_a, path_r, zeros, zeros)
     out = jax.lax.while_loop(cond, body, init)
-    (_, parent, action, _, depth, _, path_p, path_a, existing) = out
-    return parent, action, existing, depth, path_p, path_a
+    (_, parent, action, _, depth, _, path_p, path_a, path_r, existing,
+     prot) = out
+    return parent, action, existing, depth, prot, path_p, path_a, path_r
 
 
-def _backprop_fused(tree: Tree, path_p, path_a, depth, value_vec, leaf_rot,
-                    parent, action, fresh, slot, pvalid_new,
+def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
+                    leaf_rot, parent, action, fresh, slot, pvalid_new,
                     pallas_backup: bool = False):
     """Whole-path backup + node expansion in O(1) dense device passes
     (reference MCTS.py:168-176).
@@ -252,11 +261,9 @@ def _backprop_fused(tree: Tree, path_p, path_a, depth, value_vec, leaf_rot,
     lv = jnp.arange(S, dtype=jnp.int32)[None, :]                    # [1, S]
     mask = lv < depth[:, None]                                      # [B, S]
 
-    # per-level backup value: value_vec[(rot(node_l) - leaf_rot) mod P]
-    nc_path = jnp.take_along_axis(
-        tree.node_sc[:, :, _NC], jnp.where(mask, path_p, 0), axis=1,
-        mode="promise_in_bounds").astype(jnp.int32)                 # [B, S]
-    roll_idx = jnp.mod(nc_path - leaf_rot[:, None], P)              # [B, S]
+    # per-level backup value: value_vec[(rot(node_l) - leaf_rot) mod P];
+    # path_r was recorded during descent (no re-gather)
+    roll_idx = jnp.mod(path_r - leaf_rot[:, None], P)               # [B, S]
     v_l = jnp.einsum(
         "bsp,bp->bs",
         jax.nn.one_hot(roll_idx, P, dtype=value_vec.dtype), value_vec)
@@ -284,19 +291,25 @@ def _backprop_fused(tree: Tree, path_p, path_a, depth, value_vec, leaf_rot,
             interpret=jax.default_backend() != "tpu")
         return tree._replace(stats=stats, node_sc=node_sc)
 
-    # edge stats + child install: one one-hot einsum over S+1 "levels"
+    # edge stats + child install: one one-hot einsum over S+1 "levels".
+    # Lane _PVALID (0) never receives einsum updates, so the contraction
+    # runs over the 3 live lanes (_CHILD/_EN/_EW = stats lanes 1..3) and the
+    # zero lane is concatenated back for the fused elementwise add — 25%
+    # less MXU padding and operand traffic than a 4-lane delta.
     pp = jnp.concatenate([jnp.where(mask, path_p, M), parent[:, None]], 1)
     pa = jnp.concatenate([path_a, action[:, None]], 1)               # [B, S+1]
-    w = jnp.zeros((B, S + 1, 4), mmt)\
-        .at[:, :S, _EN].set(mask.astype(mmt))\
-        .at[:, :S, _EW].set(v_l.astype(mmt))\
-        .at[:, S, _CHILD].set(jnp.where(fresh, jnp.float32(slot), 0.0)
-                              .astype(mmt))
+    w = jnp.zeros((B, S + 1, 3), mmt)\
+        .at[:, :S, _EN - 1].set(mask.astype(mmt))\
+        .at[:, :S, _EW - 1].set(v_l.astype(mmt))\
+        .at[:, S, _CHILD - 1].set(jnp.where(fresh, jnp.float32(slot), 0.0)
+                                  .astype(mmt))
     onehot_pp = jax.nn.one_hot(pp, M, dtype=mmt)                     # [B,S+1,M]
     onehot_a = jax.nn.one_hot(pa, A, dtype=mmt)                      # [B,S+1,A]
-    va = onehot_a[:, :, None, :] * w[..., None]                      # [B,S+1,4,A]
-    delta = jnp.einsum("bsm,bsva->bmva", onehot_pp, va,
-                       preferred_element_type=jnp.float32)           # [B,M,4,A]
+    va = onehot_a[:, :, None, :] * w[..., None]                      # [B,S+1,3,A]
+    delta3 = jnp.einsum("bsm,bsva->bmva", onehot_pp, va,
+                        preferred_element_type=jnp.float32)          # [B,M,3,A]
+    delta = jnp.concatenate(
+        [jnp.zeros((B, M, 1, A), jnp.float32), delta3], axis=2)
 
     # expanded node's prior row: broadcast outer product, fused into the add
     onehot_slot = jax.nn.one_hot(slot, M, dtype=jnp.float32)         # [M]
@@ -345,20 +358,20 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
         )
         path_p0 = jnp.full((B, S), M, jnp.int32)
         path_a0 = jnp.zeros((B, S), jnp.int32)
+        path_r0 = jnp.zeros((B, S), jnp.int32)
 
         def sim_body(i, tree):
-            parent, action, existing, depth, path_p, path_a = _select(
-                cfg, tree, i, path_p0, path_a0)
+            (parent, action, existing, depth, parent_rot, path_p, path_a,
+             path_r) = _select(cfg, tree, i, path_p0, path_a0, path_r0)
             fresh = existing == 0
             slot = jnp.int32(i + 1)                   # preallocated node id
 
             # Step every board's selected edge (results unused when the child
             # already exists — terminal revisits only).
             parent_states = _row(tree.states, parent)
-            parent_rot = _row(tree.node_sc, parent)[:, _NC]
             child_state, term_vec, child_valid, adv = jax.vmap(step_fn)(
                 parent_states, action)
-            child_rot = jnp.mod(parent_rot + adv.astype(jnp.float32), P)
+            child_rot = jnp.mod(parent_rot + adv, P).astype(jnp.float32)
             probs, values = eval_fn(params, child_state.astype(jnp.float32),
                                     child_valid)
             probs = _normalize_masked(probs, child_valid)
@@ -385,9 +398,9 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             leaf_rot = leaf_sc[:, _NC].astype(jnp.int32)
             leaf_tv = jax.lax.dynamic_slice_in_dim(leaf_sc, _NTV, P, axis=1)
             value_vec = jnp.where(leaf_term[:, None], leaf_tv, values)
-            return _backprop_fused(tree, path_p, path_a, depth, value_vec,
-                                   leaf_rot, parent, action, fresh, slot,
-                                   _pack_pvalid(probs, child_valid),
+            return _backprop_fused(tree, path_p, path_a, path_r, depth,
+                                   value_vec, leaf_rot, parent, action, fresh,
+                                   slot, _pack_pvalid(probs, child_valid),
                                    pallas_backup=cfg.pallas_backup)
 
         tree = jax.lax.fori_loop(0, S, sim_body, tree)
