@@ -83,6 +83,12 @@ class MCTSConfig:
     dirichlet_frac: float = 0.25
     prior_temp: float = 1.0           # softmax temp on root priors with noise
     add_noise: bool = False
+    # Optional descent depth cap (0 = unlimited, the reference semantics).
+    # The batched descent runs to the BATCH-max depth per sim (lockstep), so
+    # one board growing a line tree stalls the whole batch; capping treats
+    # the node reached at the cap as the leaf (its NN value is re-backed-up,
+    # no expansion) — the same bounded-depth policy as mctx's max_depth.
+    max_depth: int = 0
     # Use the Pallas fused-backup kernel (ops/fused_backup.py) for the edge
     # update instead of the XLA einsum.  Both are MXU-padding-bound on this
     # shape; measured on v5e the einsum is slightly faster (1.8ms vs 2.1ms
@@ -199,6 +205,10 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r):
             tree.node_sc[:, :, _NT], child[:, None], axis=1,
             mode="promise_in_bounds")[:, 0] > 0.0
         now_stop = (child == 0) | term_c
+        if cfg.max_depth > 0:
+            # cap reached: treat the chosen edge's child as the leaf (it is
+            # re-evaluated and backed up, never expanded further this sim)
+            now_stop = now_stop | (level >= cfg.max_depth - 1)
 
         # record the traversed edge for boards still descending
         rec_p = jnp.where(stop, M, node)       # M = one-hot drop sentinel
@@ -356,6 +366,11 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
                   .at[:, 0, _PVALID, :].set(_pack_pvalid(pi0, root_valid)),
             node_sc=jnp.zeros((B, M, 8), jnp.float32).at[:, 0].set(root_sc),
         )
+        # Path buffers stay S wide even under a depth cap: measured on v5e,
+        # shrinking the backup einsum's contraction (path-level axis) to
+        # max_depth+1 made the whole search SLOWER (e.g. D=24: 477ms vs
+        # 366ms at B=1024/S=64) — XLA picks a worse strategy for the small
+        # contraction — so the cap is purely a semantic bound, not a perf one.
         path_p0 = jnp.full((B, S), M, jnp.int32)
         path_a0 = jnp.zeros((B, S), jnp.int32)
         path_r0 = jnp.zeros((B, S), jnp.int32)

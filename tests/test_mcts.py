@@ -105,6 +105,23 @@ def test_forced_playouts_pruning(setup):
     assert (counts.sum(1) > 0).all()
 
 
+def test_depth_cap_preserves_invariants(setup):
+    """max_depth caps the lockstep descent; every sim still backs up exactly
+    one root-edge visit and Q stays antisymmetric."""
+    cfg, eval_fn, step_fn, valid_fn = setup
+    roots = _roots(cfg, 3, seed=7)
+    search = jax.jit(M.build_search(
+        M.MCTSConfig(num_sims=40, max_depth=4), 2,
+        eval_fn, step_fn, valid_fn))
+    res = search(None, roots, jax.random.PRNGKey(1))
+    counts = np.asarray(res.raw_counts)
+    np.testing.assert_array_equal(counts.sum(1), 40)
+    valids = np.asarray(jax.vmap(valid_fn)(roots))
+    assert (counts[~valids] == 0).all()
+    q = np.asarray(res.q)
+    np.testing.assert_allclose(q[:, 0], -q[:, 1], atol=1e-6)
+
+
 def test_terminal_backup(setup):
     """From a state 1 move away from a win, repeated visits of the terminal
     child keep backing up +1 for the mover."""
