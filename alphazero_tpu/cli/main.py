@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="forced_playouts")
     p.add_argument("--surprise-weight", "-W", action="store_true",
                    dest="surprise_weight")
+    p.add_argument("--eval-baselines", type=int, default=0,
+                   dest="eval_baselines",
+                   help="games vs random AND greedy per iteration for the "
+                        "learning curve (0 = off); logged to metrics.jsonl")
     p.add_argument("--checkpoint", "-C", default="./temp/")
     p.add_argument("--load-folder-file", "-L", default=None,
                    dest="load_folder_file")
@@ -85,6 +89,7 @@ def args_to_config(args) -> CoachConfig:
         history=args.numItersHistory,
         update_threshold=args.updateThreshold,
         arena_games=arena_games,
+        eval_baseline_games=args.eval_baselines,
         checkpoint_dir=args.checkpoint,
         seed=args.seed,
     )

@@ -161,6 +161,49 @@ def make_random_agent(valids_fn) -> Agent:
     return agent
 
 
+def make_greedy_agent(env_cfg: E.SplendorConfig) -> Agent:
+    """Vectorized 1-ply score maximizer with the reference's tie-break ladder
+    (SplendorPlayers.py:93-115): play the valid move with the largest
+    immediate score gain; if nothing gains, prefer buys (actions <12), then
+    3-gem takes (30-59), else any valid move — random within the pool."""
+    cfg = env_cfg
+    A = cfg.num_actions
+    # Only buys (board 0-11, reserved 27-29) can raise the mover's score
+    # (card points + noble award); every other Splendor action is
+    # score-neutral, so the 1-ply lookahead only steps these 15 candidates.
+    cand = jnp.array(list(range(12)) + [27, 28, 29], jnp.int32)
+
+    def one_board(s):
+        valid = E.valid_moves(cfg, s, 0)
+        s0 = E.all_scores(cfg, s)[0]
+
+        def after(a):
+            s2, _ = E.step(cfg, s, a, 0, jnp.zeros(2), True)
+            return E.all_scores(cfg, s2)[0]
+
+        cand_gain = jax.vmap(after)(cand) - s0
+        gain = jnp.zeros((A,), cand_gain.dtype).at[cand].set(cand_gain)
+        gain = jnp.where(valid, gain, -(2 ** 14))
+        return valid, gain
+
+    def agent(canon, key):
+        valid, gain = jax.vmap(one_board)(canon)
+        best = gain.max(-1, keepdims=True)
+        ids = jnp.arange(A, dtype=jnp.int32)[None, :]
+        pool_gain = valid & (gain == best)
+        pool_buy = valid & (ids < 12)
+        pool_take = valid & (ids >= 30) & (ids < 60)
+        fallback = jnp.where(
+            pool_buy.any(-1, keepdims=True), pool_buy,
+            jnp.where(pool_take.any(-1, keepdims=True), pool_take, valid))
+        pool = jnp.where(best > 0, pool_gain, fallback)
+        g = jax.random.gumbel(key, pool.shape)
+        return jnp.argmax(jnp.where(pool, g, -jnp.inf), axis=-1)\
+                  .astype(jnp.int32)
+
+    return jax.jit(agent)
+
+
 def two_player_gate(env_cfg, search_fn, new_bundle, old_bundle, games: int,
                     key) -> tuple[int, int, int]:
     """Arena gating: play ``games`` split into both seat orders.

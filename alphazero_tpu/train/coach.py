@@ -57,6 +57,9 @@ class CoachConfig:
     update_threshold: float = 0.6
     arena_games: int = 30
     gate_num_sims: int = 0                # 0 -> num_sims
+    # learning-curve evaluation: pit the current net vs random AND greedy
+    # baselines every iteration (0 = off); results land in metrics.jsonl
+    eval_baseline_games: int = 0
     checkpoint_dir: str = "./checkpoints"
     seed: int = 0
 
@@ -102,6 +105,7 @@ class Coach:
 
         self.replay = ReplayBuffer(history=cfg.history,
                                    max_per_iter=cfg.max_examples_per_iter)
+        self._eval_arena = None        # built lazily on first baseline eval
 
     # ------------------------------------------------------------------ API
     @property
@@ -161,11 +165,50 @@ class Coach:
         accept = (nw + ow) > 0 and nw / (nw + ow) >= self.cfg.update_threshold
         return accept, (nw, ow, dr)
 
+    def eval_vs_baselines(self) -> dict:
+        """Pit the current net (gate search, temp=0) against the random and
+        greedy baselines, both seat orders, returning winrates (draws count
+        0.5).  This is the learning-curve probe the reference demonstrates
+        via pit.py runs (README.md:97, SplendorPlayers.py:18-115)."""
+        cfg = self.cfg
+        half = max(cfg.eval_baseline_games // 2, 1)
+        if self._eval_arena is None:
+            self._eval_arena = AR.BatchArena(self.env_cfg, half)
+            self._greedy_agent = AR.make_greedy_agent(self.env_cfg)
+            self._random_agent = AR.make_random_agent(self._eval_arena.valids)
+            self._eval_search = jax.jit(self.gate_search)
+        net = AR.make_search_agent(self._eval_search, self.bundle)
+        out = {}
+        for name, opp in (("random", self._random_agent),
+                          ("greedy", self._greedy_agent)):
+            self.key, k1, k2 = jax.random.split(self.key, 3)
+            r1 = self._eval_arena.play([net, opp], k1)
+            r2 = self._eval_arena.play([opp, net], k2)
+            w1, d1 = r1.tally([0, 1])
+            w2, d2 = r2.tally([1, 0])
+            w, l, d = w1[0] + w2[0], w1[1] + w2[1], d1 + d2
+            out[f"wins_vs_{name}"] = w
+            out[f"losses_vs_{name}"] = l
+            out[f"draws_vs_{name}"] = d
+            out[f"winrate_vs_{name}"] = (w + 0.5 * d) / max(w + l + d, 1)
+        return out
+
+    def _append_metrics(self, record: dict):
+        """Persistent per-iteration training history (metrics.jsonl) — the
+        observability the reference only surfaces transiently via tqdm
+        meters (GenericNNetWrapper.py:63,99)."""
+        import json
+        os.makedirs(self.cfg.checkpoint_dir, exist_ok=True)
+        path = os.path.join(self.cfg.checkpoint_dir, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
     def learn(self, on_iteration=None):
         cfg = self.cfg
         CKPT.save_settings(cfg.checkpoint_dir, dataclasses.asdict(cfg))
         CKPT.save_code_snapshot(cfg.checkpoint_dir)
         for it in range(1, cfg.num_iters + 1):
+            t_iter = time.time()
             log.info("Iter %d: self-play...", it)
             sp_stats = self.self_play_iteration()
             log.info("Iter %d: %d examples, %.0f rollouts/s", it,
@@ -205,6 +248,21 @@ class Coach:
                         self.train_state.params),
                     batch_stats=jax.tree_util.tree_map(
                         lambda x: jax.numpy.asarray(x), ckpt["batch_stats"]))
+            record = {
+                "iter": it,
+                **{f"selfplay_{k}": v for k, v in sp_stats.items()},
+                **{f"train_{k}": v for k, v in metrics.items()},
+                "gate_new": nw, "gate_old": ow, "gate_draws": dr,
+                "accepted": accept,
+                "replay_examples": len(self.replay),
+            }
+            if cfg.eval_baseline_games > 0:
+                ev = self.eval_vs_baselines()
+                record.update(ev)
+                log.info("Iter %d: winrate vs random %.2f, vs greedy %.2f",
+                         it, ev["winrate_vs_random"], ev["winrate_vs_greedy"])
+            record["iter_seconds"] = time.time() - t_iter
+            self._append_metrics(record)
             if on_iteration:
                 on_iteration(it, sp_stats, metrics, (nw, ow, dr), accept)
 

@@ -23,7 +23,7 @@ class Iteration:
     winner: np.ndarray      # (E, P) float16
     scdiff: np.ndarray      # (E, P) int8
     valids: np.ndarray      # (E, A) bool
-    surprise: np.ndarray    # (E,) float16
+    surprise: np.ndarray    # (E, P) float16 — per-player |root-Q - winner|
 
     def __len__(self):
         return len(self.boards)
@@ -62,6 +62,8 @@ class ReplayBuffer:
         seed = int(rng.integers(0, 2 ** 62))
         if surprise_weight:
             s = self._flat("surprise").astype(np.float64)
+            if s.ndim > 1:            # per-player vector -> mean over seats
+                s = s.mean(axis=1)
             p = s / max(s.sum(), 1e-9) + 1.0 / n
             ids = native.sample_weighted(p.astype(np.float32), batch_size, seed)
         else:

@@ -1,12 +1,17 @@
 """Vectorized self-play: B games stepped in lockstep on device.
 
 Replaces the reference's one-game-at-a-time executeEpisode (Coach.py:50-100)
-with a batched actor: every move runs ONE batched MCTS over all live boards
+with a batched actor: every move runs batched MCTS over all live boards
 (leaf NN evals batched [B]-wide), then one vmapped env step with real chance
-draws.  Playout-cap randomization (MCTS.py:54-56) picks full vs fast search
-per move for the whole batch; examples are stored only for full-search moves,
-tagged with the root-Q surprise vector, and finalized with per-player
-winner / score-diff vectors rolled into each mover's frame (Coach.py:89-100).
+draws.  Playout-cap randomization (MCTS.py:54-56) is PER BOARD PER MOVE: each
+move the batch is randomly partitioned into a full-search sub-batch of
+``round(prob_full * B)`` boards and a fast sub-batch (stratified version of
+the reference's per-game Bernoulli), with finished boards biased into the
+fast half so full searches are never wasted on dead games.  Examples are
+stored only for full-search moves, tagged with the per-player root-Q
+surprise vector (reference Coach.py:75,94 stores the q vector), and
+finalized with per-player winner / score-diff vectors rolled into each
+mover's frame (Coach.py:89-100).
 """
 
 from __future__ import annotations
@@ -131,19 +136,49 @@ class SelfPlayEngine:
         # arithmetic constant-folds (no per-board dynamic slices), and the
         # per-move canonicalization collapses to one constant-shift
         # swap_players(·, 1) fused into the step.
+        B = cfg.batch_size
+        B_full = int(round(cfg.prob_full * B))
+        if cfg.prob_full >= 1.0:
+            B_full = B
+        elif cfg.prob_full > 0.0:
+            B_full = min(max(B_full, 1), B - 1) if B > 1 else B
+
         def _chunk(bundle, states, offset, move0, done, results, key):
             def body(carry, key_t):
                 states, offset, move, done, results = carry
-                k_full, ks, ka, ku, kn = jax.random.split(key_t, 5)
+                k_part, ks, ks2, ka, ku, kn = jax.random.split(key_t, 6)
                 valids = jax.vmap(valid_fn)(states)
-                is_full = jax.random.uniform(k_full) < cfg.prob_full
-                res = jax.lax.cond(
-                    is_full,
-                    lambda: search_full_fn(bundle, states, ks),
-                    lambda: search_fast_fn(bundle, states, ks))
+
+                # per-board full/fast partition (stratified PCR, MCTS.py:54-56);
+                # finished boards sort last so they land in the fast half
+                if B_full >= B:
+                    res = search_full_fn(bundle, states, ks)
+                    counts, q = res.counts, res.q
+                    is_full_b = jnp.ones((B,), jnp.bool_)
+                elif B_full == 0:
+                    res = search_fast_fn(bundle, states, ks)
+                    counts, q = res.counts, res.q
+                    is_full_b = jnp.zeros((B,), jnp.bool_)
+                else:
+                    u_b = jax.random.uniform(k_part, (B,))
+                    perm = jnp.argsort(u_b + done.astype(jnp.float32))
+                    idx_full, idx_fast = perm[:B_full], perm[B_full:]
+                    res_f = search_full_fn(
+                        bundle, jnp.take(states, idx_full, 0), ks)
+                    res_s = search_fast_fn(
+                        bundle, jnp.take(states, idx_fast, 0), ks2)
+                    A_ = res_f.counts.shape[1]
+                    counts = jnp.zeros((B, A_), res_f.counts.dtype)\
+                        .at[idx_full].set(res_f.counts)\
+                        .at[idx_fast].set(res_s.counts)
+                    q = jnp.zeros((B, n), res_f.q.dtype)\
+                        .at[idx_full].set(res_f.q)\
+                        .at[idx_fast].set(res_s.q)
+                    is_full_b = jnp.zeros((B,), jnp.bool_)\
+                        .at[idx_full].set(True)
                 temp = jnp.where(move < cfg.temp_threshold,
                                  cfg.temp_early, cfg.temp_late)
-                actions = _sample_actions(res.counts, temp, ka)
+                actions = _sample_actions(counts, temp, ka)
                 u = jax.random.uniform(ku, (states.shape[0], 2))
 
                 # finished boards skip the game step (so final scores reflect
@@ -173,8 +208,8 @@ class SelfPlayEngine:
                 ends = jnp.roll(ends_rel, offset2, axis=1)   # absolute seats
                 newly = ends.any(1) & ~done
                 results = jnp.where(newly[:, None], ends, results)
-                out = (states, res.counts, valids, res.q, offset,
-                       ~done, is_full)
+                out = (states, counts, valids, q, offset,
+                       ~done, is_full_b)
                 return ((states2, offset2, move + 1, done | newly, results),
                         out)
 
@@ -211,22 +246,25 @@ class SelfPlayEngine:
                 params_bundle, states, offset, move, done, results, kc)
             canon_t, counts_t, valids_t, q_t, player_t, alive_t, full_t = (
                 np.asarray(o) for o in outs)
-            alive_counts = alive_t.sum(1)
-            total_moves += int(alive_counts.sum())
-            total_sims += int((alive_counts *
-                               np.where(full_t, cfg.num_sims, fast_sims)).sum())
+            total_moves += int(alive_t.sum())
+            total_sims += (int((alive_t & full_t).sum()) * cfg.num_sims
+                           + int((alive_t & ~full_t).sum()) * fast_sims)
             if collect:
-                for t in np.flatnonzero(full_t):
-                    counts = counts_t[t]
+                for t in range(full_t.shape[0]):
+                    mask = alive_t[t] & full_t[t]
+                    if not mask.any():
+                        continue
+                    idx = np.flatnonzero(mask)
+                    counts = counts_t[t][idx]
                     pi = counts / np.maximum(counts.sum(1, keepdims=True), 1e-9)
-                    collected.append((canon_t[t], pi.astype(np.float16),
-                                      valids_t[t], q_t[t], int(player_t[t]),
-                                      alive_t[t]))
+                    collected.append((canon_t[t][idx], pi.astype(np.float16),
+                                      valids_t[t][idx], q_t[t][idx],
+                                      int(player_t[t]), idx))
             if bool(np.asarray(done).all()):
                 break
 
         # unfinished games: judge at move cap (reference scores tiebreak)
-        results_np = np.asarray(results)
+        results_np = np.array(results)
         done_np = np.asarray(done)
         off = int(offset)
         if not done_np.all():
@@ -244,32 +282,47 @@ class SelfPlayEngine:
 
         # scores come back in the final canonical frame; rotate to absolute
         scores = np.roll(np.asarray(self.scores_batch(states)), off, axis=1)
-        boards_l, pi_l, val_l, win_l, sd_l, sur_l = [], [], [], [], [], []
-        for boards, pi, valids, q, pl, alive in collected:
-            idx = np.flatnonzero(alive)
-            if len(idx) == 0:
-                continue
-            r = results_np[idx]                              # absolute frame
-            winner = np.stack([np.roll(r[i], -pl) for i in range(len(idx))])
-            sc = scores[idx]
-            sd = np.stack([
-                np.roll(sc[i] - sc[i, pl], -pl) for i in range(len(idx))])
-            boards_l.append(boards[idx])
-            pi_l.append(pi[idx])
-            val_l.append(valids[idx])
-            win_l.append(winner.astype(np.float16))
-            sd_l.append(np.clip(sd, -127, 127).astype(np.int8))
-            sur_l.append(np.abs(q[idx, 0] - winner[:, 0]).astype(np.float16))
-
-        if not boards_l:
+        it = finalize_examples(collected, results_np, scores)
+        if it is None:
             return None, stats
-        it = Iteration(
-            boards=np.concatenate(boards_l),
-            pi=np.concatenate(pi_l),
-            winner=np.concatenate(win_l),
-            scdiff=np.concatenate(sd_l),
-            valids=np.concatenate(val_l),
-            surprise=np.concatenate(sur_l),
-        )
         stats["examples"] = len(it)
         return it, stats
+
+
+def finalize_examples(collected, results: np.ndarray,
+                      scores: np.ndarray) -> Iteration | None:
+    """Roll each game's final outcome into every stored example's mover frame
+    (reference Coach.py:89-100): ``winner = roll(result, -player)``,
+    ``scdiff = roll(scores - scores[player], -player)``, plus the per-player
+    surprise vector ``|q - winner|`` (the reference tags the root-Q vector
+    per example, Coach.py:75,94, and weights sampling by it,
+    GenericNNetWrapper.py:332-341).
+
+    ``collected``: list of per-move tuples ``(boards [E,R,7], pi [E,A],
+    valids [E,A], q [E,P] mover-frame root Q, player, board_idx [E])``;
+    ``results``/``scores``: ``[B, P]`` absolute-seat final arrays."""
+    boards_l, pi_l, val_l, win_l, sd_l, sur_l = [], [], [], [], [], []
+    for boards, pi, valids, q, pl, idx in collected:
+        if len(idx) == 0:
+            continue
+        r = results[idx]                                     # absolute frame
+        winner = np.roll(r, -pl, axis=1)
+        sc = scores[idx]
+        sd = np.roll(sc - sc[:, pl:pl + 1], -pl, axis=1)
+        boards_l.append(boards)
+        pi_l.append(pi)
+        val_l.append(valids)
+        win_l.append(winner.astype(np.float16))
+        sd_l.append(np.clip(sd, -127, 127).astype(np.int8))
+        sur_l.append(np.abs(q - winner).astype(np.float16))
+
+    if not boards_l:
+        return None
+    return Iteration(
+        boards=np.concatenate(boards_l),
+        pi=np.concatenate(pi_l),
+        winner=np.concatenate(win_l),
+        scdiff=np.concatenate(sd_l),
+        valids=np.concatenate(val_l),
+        surprise=np.concatenate(sur_l),
+    )

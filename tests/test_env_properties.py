@@ -115,13 +115,23 @@ def test_vmapped_batch_step():
 
 
 def test_deterministic_mode_no_refill():
+    """Play take-gem moves until a buy is affordable, then check that a
+    deterministic-mode buy leaves the board slot empty (no chance refill)."""
     cfg = E.SplendorConfig(num_players=2)
     st = E.initial_state_jit(cfg, jax.random.PRNGKey(2))
-    v = np.asarray(E.valid_moves_jit(cfg, st, 0))
-    buys = np.flatnonzero(v[:12])
-    if len(buys) == 0:
-        pytest.skip("no affordable card turn 0")
-    a = int(buys[0])
-    st2, _ = E.step_jit(cfg, st, a, 0, jnp.zeros(2), True)
-    st2 = np.asarray(st2)
-    assert st2[1 + 2 * a:3 + 2 * a].sum() == 0      # slot left empty
+    player = 0
+    for _ in range(40):
+        v = np.asarray(E.valid_moves_jit(cfg, st, player))
+        buys = np.flatnonzero(v[:12])
+        if len(buys):
+            a = int(buys[0])
+            st2, _ = E.step_jit(cfg, st, a, player, jnp.zeros(2), True)
+            st2 = np.asarray(st2)
+            assert st2[1 + 2 * a:3 + 2 * a].sum() == 0  # slot left empty
+            return
+        takes = np.flatnonzero(v[30:60]) + 30
+        a = int(takes[0]) if len(takes) else int(np.flatnonzero(v)[0])
+        st, nxt = E.step_jit(cfg, st, jnp.int32(a), player, jnp.zeros(2),
+                             True)
+        player = int(np.asarray(nxt))
+    pytest.fail("no buy became affordable within 40 moves")
