@@ -6,7 +6,7 @@ EN, EW — see search/mcts.py):
     stats[b, path_p[b,s], EN, path_a[b,s]] += w[b, s, 0]   (visit increments)
     stats[b, path_p[b,s], EW, path_a[b,s]] += w[b, s, 1]   (value backups)
     stats[b, parent[b],  CHILD, action[b]] += child_val[b] (fresh-child install)
-    stats[b, slot, PVALID, :]              += pv_row[b]    (expanded prior row)
+    stats[b, slot[b], PVALID, :]           += pv_row[b]    (expanded prior row)
 
 The XLA fallback (mcts._backprop_fused) materializes the one-hot operands,
 the [B, M, 4, A] delta, and the sum in HBM — ~1.7 GB of traffic per
@@ -68,16 +68,15 @@ def _kernel(slot_ref, path_p_ref, path_a_ref, w_ref, child_p_ref,
     out_ref[:, :, _EN, :] = stats_ref[:, :, _EN, :] + delta[:, 0]
     out_ref[:, :, _EW, :] = stats_ref[:, :, _EW, :] + delta[:, 1]
 
-    # expanded node's prior row (same slot for every board): ref RMW with a
-    # dynamic sublane index
-    slot = slot_ref[0]
-    row = out_ref[:, pl.ds(slot, 1), _PVALID, :]         # [TB, 1, A]
-    out_ref[:, pl.ds(slot, 1), _PVALID, :] = row + pv_ref[:][:, None, :]
-
-    # fresh-child install: masked full-row RMW per board (the minor/lane dim
-    # cannot take an unaligned dynamic index on Mosaic)
+    # expanded node's prior row (per-board slot once trees are reused across
+    # moves) + fresh-child install: masked full-row RMW per board (the
+    # minor/lane dim cannot take an unaligned dynamic index on Mosaic)
     iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
     for b in range(TB):
+        sl = slot_ref[b, 0]
+        prow = out_ref[b, pl.ds(sl, 1), _PVALID, :]          # [1, A]
+        out_ref[b, pl.ds(sl, 1), _PVALID, :] = prow + pv_ref[b][None, :]
+
         cp = child_p_ref[b, 0]
         ca = child_a_ref[b, 0]
         cv = child_v_ref[b, 0]
@@ -100,8 +99,8 @@ def fused_backup(stats, path_p, path_a, w, child_p, child_a, child_v,
     w        [B, S1, 2] f32 — (EN increment, EW value) per level
     child_p  [B] i32, child_a [B] i32, child_v [B] f32 — fresh-child install
              (child_v == 0 -> skip)
-    pv_row   [B, A] f32 — added to stats[:, slot, PVALID, :]
-    slot     scalar i32
+    pv_row   [B, A] f32 — added to stats[b, slot[b], PVALID, :]
+    slot     [B] i32 — per-board expanded-node id
     """
     B, M, L, A = stats.shape
     assert L == 4 and B % tile_b == 0
@@ -120,7 +119,7 @@ def fused_backup(stats, path_p, path_a, w, child_p, child_a, child_v,
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                  # slot
+            pl.BlockSpec((tile_b, 1), ix_b, memory_space=pltpu.SMEM),  # slot
             pl.BlockSpec((tile_b, path_p.shape[1]), ix_b,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, path_a.shape[1]), ix_b,
@@ -141,5 +140,6 @@ def fused_backup(stats, path_p, path_a, w, child_p, child_a, child_v,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.atleast_1d(jnp.asarray(slot, jnp.int32)), path_p, path_a, w,
+    )(jnp.broadcast_to(jnp.asarray(slot, jnp.int32), (B,))[:, None],
+      path_p, path_a, w,
       child_p[:, None], child_a[:, None], child_v[:, None], pv_row, stats)

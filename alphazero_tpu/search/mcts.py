@@ -1,4 +1,4 @@
-"""Batched array-based MCTS for TPU.
+"""Batched array-based MCTS for TPU, with cross-move tree reuse.
 
 Re-design of the reference's recursive dict-tree MCTS (MCTS.py:16-250) as a
 fixed-shape array search that runs entirely under ``jit`` and ``vmap`` over a
@@ -9,18 +9,26 @@ latency path, GenericNNetWrapper.py:141-168).
 Search features mirrored from the reference:
 - PUCT with FPU (absolute, or parent-Q reduction; MCTS.py:199-219)
 - Dirichlet root noise mixed 0.75/0.25 over valid actions after a prior
-  softmax temperature (MCTS.py:141-144,180-186,244-250)
+  softmax temperature (MCTS.py:141-144,180-186,244-250); like the reference,
+  noise is (re-)applied to the root priors at the start of every search
+  call, including on a reused root (MCTS.py:150-153)
 - forced playouts at the root + policy-target pruning (MCTS.py:69-74,206-209)
 - terminal-value caching, multiplayer value backprop via seat-roll
   (MCTS.py:168-176)
 - playout-cap randomization is driven by the caller choosing the
-  ``num_sims`` variant per move (MCTS.py:54-56).
+  ``num_sims`` variant per move (MCTS.py:54-56)
+- CROSS-MOVE TREE REUSE (reference keeps its dict tree across moves within a
+  game and GCs old rounds, MCTS.py:27-36,79-85): ``build_reusing_search``
+  returns a ``reroot`` that re-roots the array tree on the played action —
+  the surviving subtree is compacted to the buffer head (ranked by visit
+  count, capped at ``keep_cap`` nodes) and the next search continues from
+  its carried N/W/priors.  Reuse is per-board validated: it only applies
+  when the real next state matches the tree's (deterministic-chance) child
+  state, exactly like the reference's state-bytes dict lookup, which also
+  only hits when the stochastic draw matched the in-tree collapse.
 
-Deliberate structural divergences (documented):
-- one fresh tree per move instead of cross-move reuse + round-based GC — the
-  arrays are preallocated ``[B, num_sims+1, ...]`` so no GC is needed;
-- no transposition table (identical states become distinct nodes), which is
-  the standard array-MCTS trade.
+Remaining structural divergence (documented): no transposition table
+(identical states become distinct nodes) — the standard array-MCTS trade.
 
 TPU memory/layout design (profile-driven; see docs/PERF.md history):
 - Per-node, per-action data lives in ONE unified array ``stats [B, M, 4, A]``
@@ -30,9 +38,10 @@ TPU memory/layout design (profile-driven; see docs/PERF.md history):
   regardless of row width), so minimizing the NUMBER of gathers per level —
   not bytes — is what matters.
 - Per-node scalars (N, value-sum, terminal flag, terminal value vector) live
-  in ``node_sc [B, M, 8]``; its row gather is trivial.
+  in ``node_sc [B, M, 8]``; per-node parent ids (needed only by reroot) in
+  ``parent [B, M]``.
 - Backprop does NOT walk the tree a second time.  Selection records the
-  (parent, action) path into ``[B, S]`` buffers; afterwards the whole backup
+  (parent, action) path into ``[B, PL]`` buffers; afterwards the whole backup
   — edge N/W increments, child-pointer install, the expanded node's prior
   row, and the node scalars — is expressed as dense one-hot matmul deltas
   fused into single whole-array adds (see ``_backprop_fused``).  TPU scatter
@@ -40,14 +49,20 @@ TPU memory/layout design (profile-driven; see docs/PERF.md history):
   write to the 436MB stats array (scatter, lane-sliced ``.at[].add``, or
   dynamic-update-slice) rewrites the whole buffer, so the only mutations are
   elementwise passes XLA can fuse; measured history in docs/PERF.md.
-- Small arrays (states, node_sc) still use dynamic-update-slice at the
-  common ``slot`` index; their full-buffer rewrite is a few MB and cheap.
+- Small arrays (states, node_sc, parent) are written at the per-board
+  ``slot`` index with a one-hot masked ``where`` — their full-buffer rewrite
+  is a few MB and cheap.
+- ``reroot`` runs ONCE per move (vs per sim): reachability from the played
+  child via parent-pointer doubling (log2(M) gathers), a stable int-key
+  argsort ranking (played child first, then kept nodes by visit count — so
+  an ancestor always outranks its descendants and truncation never orphans
+  a node), then one gather pass per tree array.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -83,11 +98,12 @@ class MCTSConfig:
     dirichlet_frac: float = 0.25
     prior_temp: float = 1.0           # softmax temp on root priors with noise
     add_noise: bool = False
-    # Optional descent depth cap (0 = unlimited, the reference semantics).
-    # The batched descent runs to the BATCH-max depth per sim (lockstep), so
-    # one board growing a line tree stalls the whole batch; capping treats
-    # the node reached at the cap as the leaf (its NN value is re-backed-up,
-    # no expansion) — the same bounded-depth policy as mctx's max_depth.
+    # Optional descent depth cap (0 = auto: num_sims + keep_cap, which can
+    # never be exceeded by construction for a fresh tree).  The batched
+    # descent runs to the BATCH-max depth per sim (lockstep), so one board
+    # growing a line tree stalls the whole batch; capping treats the node
+    # reached at the cap as the leaf (its NN value is re-backed-up, no
+    # expansion) — the same bounded-depth policy as mctx's max_depth.
     max_depth: int = 0
     # Use the Pallas fused-backup kernel (ops/fused_backup.py) for the edge
     # update instead of the XLA einsum.  Both are MXU-padding-bound on this
@@ -97,10 +113,12 @@ class MCTSConfig:
 
 
 class Tree(NamedTuple):
-    """All arrays carry a leading batch axis [B]; M = num_sims + 1 nodes."""
+    """All arrays carry a leading batch axis [B]; M = capacity =
+    num_sims + keep_cap + 1 nodes."""
     states: jnp.ndarray      # [B, M, R, 7] int8, canonical (player-0 to move)
     stats: jnp.ndarray       # [B, M, 4, A] f32 — lanes per module header
     node_sc: jnp.ndarray     # [B, M, 8] f32 — lanes per module header
+    parent: jnp.ndarray      # [B, M] i32 — parent node id (0 for the root)
 
 
 class SearchResult(NamedTuple):
@@ -109,6 +127,20 @@ class SearchResult(NamedTuple):
     q: jnp.ndarray           # [B, P] f32 — root Q per seat (reference :64-66)
     root_value: jnp.ndarray  # [B, P] f32 — NN value at root
     root_prior: jnp.ndarray  # [B, A] f32
+
+
+class ReusingSearch(NamedTuple):
+    """Tree-reusing search API (reference MCTS.py:27-36 keeps its tree across
+    moves; here the carry is explicit because the arrays are fixed-shape).
+
+    init_tree(roots [B,R,7]) -> (Tree, n [B])        fresh per-game trees
+    run(params, tree, n, rng) -> (SearchResult, Tree, n)   one search call
+    reroot(tree, actions [B], next_states [B,R,7]) -> (Tree, n)
+    """
+    init_tree: Callable[..., Any]
+    run: Callable[..., Any]
+    reroot: Callable[..., Any]
+    capacity: int
 
 
 # EvalFn: (params, states_f32 [B,R,7], valids [B,A]) -> (probs [B,A], v [B,P])
@@ -141,6 +173,18 @@ def _pack_pvalid(probs, valid):
     return jnp.where(valid, probs, -1.0)
 
 
+def _write_row(arr, slot_b, upd):
+    """arr [B, M, ...] with per-board row index slot_b [B] <- upd [B, ...].
+
+    One-hot masked ``where`` instead of scatter/DUS: any dynamic-index write
+    rewrites the whole buffer anyway, and the masked select is a single
+    fusable elementwise pass."""
+    B, M = arr.shape[:2]
+    onehot = jnp.arange(M, dtype=jnp.int32)[None, :] == slot_b[:, None]
+    mask = onehot.reshape((B, M) + (1,) * (arr.ndim - 2))
+    return jnp.where(mask, upd[:, None].astype(arr.dtype), arr)
+
+
 def _ucb_pick_rows(cfg: MCTSConfig, prior_r, valid_r, en_r, ew_r, ns, qs,
                    sim_idx, is_root):
     """Vectorized PUCT over per-node rows [B, A] (reference pick_highest_UCB,
@@ -169,14 +213,17 @@ def _ucb_pick_rows(cfg: MCTSConfig, prior_r, valid_r, en_r, ew_r, ns, qs,
     return best
 
 
-def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r):
+def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
+            depth_cap: int):
     """Batched tree descent with path recording.
 
     Returns (parent [B], action [B], existing [B] — 0 if the chosen edge is
     unexpanded, depth [B] — number of edges on the path, parent_rot [B] —
     the stopping node's seat rotation, path_p, path_a, path_r).  Each path
     node's rotation (lane ``_NC``) is recorded during the descent itself, so
-    backprop never re-gathers node rows."""
+    backprop never re-gathers node rows.  ``depth_cap`` (== the path-buffer
+    width) bounds the descent; the node reached at the cap is treated as the
+    leaf."""
     B, M, _, A = tree.stats.shape
     zeros = jnp.zeros((B,), jnp.int32)
 
@@ -204,11 +251,9 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r):
         term_c = jnp.take_along_axis(
             tree.node_sc[:, :, _NT], child[:, None], axis=1,
             mode="promise_in_bounds")[:, 0] > 0.0
-        now_stop = (child == 0) | term_c
-        if cfg.max_depth > 0:
-            # cap reached: treat the chosen edge's child as the leaf (it is
-            # re-evaluated and backed up, never expanded further this sim)
-            now_stop = now_stop | (level >= cfg.max_depth - 1)
+        # cap reached: treat the chosen edge's child as the leaf (it is
+        # re-evaluated and backed up, never expanded further this sim)
+        now_stop = (child == 0) | term_c | (level >= depth_cap - 1)
 
         # record the traversed edge for boards still descending
         rec_p = jnp.where(stop, M, node)       # M = one-hot drop sentinel
@@ -239,7 +284,7 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r):
 
 
 def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
-                    leaf_rot, parent, action, fresh, slot, pvalid_new,
+                    leaf_rot, parent, action, fresh, slot_b, pvalid_new,
                     pallas_backup: bool = False):
     """Whole-path backup + node expansion in O(1) dense device passes
     (reference MCTS.py:168-176).
@@ -251,6 +296,9 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
     With one-seat-per-edge rotation this reduces to the reference's
     ``np.roll`` walk (rot(node)=level, leaf_rot=depth); per-node rotations
     (lane ``_NC``) generalize it to noble-select plies that keep the turn.
+
+    ``slot_b`` is the PER-BOARD id of the node expanded this sim (boards
+    carry different node counts once trees are reused across moves).
 
     TPU cost model (measured, B=1024 S=64 A=409): any *dynamic-index* write
     to the [B,M,4,A] stats array — scatter, lane-sliced .at[].add, or
@@ -290,14 +338,15 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
                      preferred_element_type=jnp.float32)             # [B, M, 8]
     node_sc = tree.node_sc + dsc
 
+    slot_f = slot_b.astype(jnp.float32)
     if pallas_backup:
         from ..ops.fused_backup import fused_backup
         w2 = jnp.stack([mask.astype(jnp.float32), v_l], -1)      # [B, S, 2]
         stats = fused_backup(
             tree.stats, jnp.where(mask, path_p, M), path_a, w2,
             parent, action,
-            jnp.where(fresh, jnp.float32(slot), 0.0),
-            pvalid_new + 1.0, slot,
+            jnp.where(fresh, slot_f, 0.0),
+            pvalid_new + 1.0, slot_b,
             interpret=jax.default_backend() != "tpu")
         return tree._replace(stats=stats, node_sc=node_sc)
 
@@ -311,7 +360,7 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
     w = jnp.zeros((B, S + 1, 3), mmt)\
         .at[:, :S, _EN - 1].set(mask.astype(mmt))\
         .at[:, :S, _EW - 1].set(v_l.astype(mmt))\
-        .at[:, S, _CHILD - 1].set(jnp.where(fresh, jnp.float32(slot), 0.0)
+        .at[:, S, _CHILD - 1].set(jnp.where(fresh, slot_f, 0.0)
                                   .astype(mmt))
     onehot_pp = jax.nn.one_hot(pp, M, dtype=mmt)                     # [B,S+1,M]
     onehot_a = jax.nn.one_hot(pa, A, dtype=mmt)                      # [B,S+1,A]
@@ -322,28 +371,44 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
         [jnp.zeros((B, M, 1, A), jnp.float32), delta3], axis=2)
 
     # expanded node's prior row: broadcast outer product, fused into the add
-    onehot_slot = jax.nn.one_hot(slot, M, dtype=jnp.float32)         # [M]
+    onehot_slot = jax.nn.one_hot(slot_b, M, dtype=jnp.float32)       # [B, M]
     lane_pv = jax.nn.one_hot(_PVALID, 4, dtype=jnp.float32)          # [4]
-    row_add = (onehot_slot[None, :, None, None] * lane_pv[None, None, :, None]
+    row_add = (onehot_slot[:, :, None, None] * lane_pv[None, None, :, None]
                * (pvalid_new + 1.0)[:, None, None, :])
     stats = tree.stats + delta + row_add
 
     return tree._replace(stats=stats, node_sc=node_sc)
 
 
-def build_search(mcts_cfg: MCTSConfig, num_players: int,
-                 eval_fn: EvalFn, step_fn: StepFn, valid_fn):
-    """Returns ``search(params, roots [B,R,7] int8, rng) -> SearchResult``.
-
-    ``eval_fn(params, states, valids)`` must return normalized masked policy
-    probabilities and per-seat values in the state's own frame."""
+def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
+                step_fn: StepFn, valid_fn, keep_cap: int):
+    """Shared search core over a caller-provided tree with per-board node
+    counts ``n0`` (1 == fresh root-only tree)."""
     cfg = mcts_cfg
     S = cfg.num_sims
-    M = S + 1
+    M = S + keep_cap + 1
     P = num_players
+    PL = min(M - 1, cfg.max_depth) if cfg.max_depth > 0 else M - 1
 
-    def search(params, roots, rng):
+    def empty_tree(B, R, C, A):
+        return Tree(
+            states=jnp.zeros((B, M, R, C), jnp.int8),
+            stats=jnp.zeros((B, M, 4, A), jnp.float32)
+                  .at[:, :, _PVALID, :].set(-1.0),
+            node_sc=jnp.zeros((B, M, 8), jnp.float32),
+            parent=jnp.zeros((B, M), jnp.int32),
+        )
+
+    def init_tree(roots):
         B, R, C = roots.shape
+        A = jax.eval_shape(valid_fn, roots[0]).shape[0]
+        tree = empty_tree(B, R, C, A)
+        return (tree._replace(states=tree.states.at[:, 0].set(roots)),
+                jnp.ones((B,), jnp.int32))
+
+    def core(params, tree, n0, rng):
+        B = tree.states.shape[0]
+        roots = tree.states[:, 0]
         root_valid = jax.vmap(valid_fn)(roots)                    # [B, A]
         A = root_valid.shape[1]
         pi0, v0 = eval_fn(params, roots.astype(jnp.float32), root_valid)
@@ -351,35 +416,39 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
 
         if cfg.add_noise:
             if cfg.prior_temp != 1.0:
-                pi0 = _normalize_masked(pi0 ** (1.0 / cfg.prior_temp), root_valid)
+                pi0 = _normalize_masked(pi0 ** (1.0 / cfg.prior_temp),
+                                        root_valid)
             g = jax.random.gamma(rng, cfg.dirichlet_alpha, (B, A))
             noise = _normalize_masked(g, root_valid)
             pi0 = _normalize_masked(
                 (1.0 - cfg.dirichlet_frac) * pi0 + cfg.dirichlet_frac * noise,
                 root_valid)
 
-        root_sc = jnp.zeros((B, 8), jnp.float32).at[:, _NV].set(v0[:, 0])
-        tree = Tree(
-            states=jnp.zeros((B, M, R, C), jnp.int8).at[:, 0].set(roots),
-            stats=jnp.zeros((B, M, 4, A), jnp.float32)
-                  .at[:, :, _PVALID, :].set(-1.0)
-                  .at[:, 0, _PVALID, :].set(_pack_pvalid(pi0, root_valid)),
-            node_sc=jnp.zeros((B, M, 8), jnp.float32).at[:, 0].set(root_sc),
+        # root prior row is always refreshed (new priors + noise, reference
+        # MCTS.py:150-153); carried roots keep their N/V scalars and edge
+        # stats, fresh roots (n0 == 1) get the NN value as initial value sum
+        carried = n0 > 1
+        fresh_sc = jnp.zeros((B, 8), jnp.float32).at[:, _NV].set(v0[:, 0])
+        sc0 = jnp.where(carried[:, None], tree.node_sc[:, 0], fresh_sc)
+        tree = tree._replace(
+            stats=tree.stats.at[:, 0, _PVALID, :].set(
+                _pack_pvalid(pi0, root_valid)),
+            node_sc=tree.node_sc.at[:, 0].set(sc0),
         )
-        # Path buffers stay S wide even under a depth cap: measured on v5e,
-        # shrinking the backup einsum's contraction (path-level axis) to
-        # max_depth+1 made the whole search SLOWER (e.g. D=24: 477ms vs
-        # 366ms at B=1024/S=64) — XLA picks a worse strategy for the small
-        # contraction — so the cap is purely a semantic bound, not a perf one.
-        path_p0 = jnp.full((B, S), M, jnp.int32)
-        path_a0 = jnp.zeros((B, S), jnp.int32)
-        path_r0 = jnp.zeros((B, S), jnp.int32)
+        # Path buffers stay PL wide even under a depth cap: measured on v5e,
+        # shrinking the backup einsum's contraction (path-level axis) made
+        # the whole search SLOWER (e.g. D=24: 477ms vs 366ms at B=1024/S=64)
+        # — XLA picks a worse strategy for the small contraction — so the
+        # cap is a semantic bound, not a perf one.
+        path_p0 = jnp.full((B, PL), M, jnp.int32)
+        path_a0 = jnp.zeros((B, PL), jnp.int32)
+        path_r0 = jnp.zeros((B, PL), jnp.int32)
 
         def sim_body(i, tree):
             (parent, action, existing, depth, parent_rot, path_p, path_a,
-             path_r) = _select(cfg, tree, i, path_p0, path_a0, path_r0)
+             path_r) = _select(cfg, tree, i, path_p0, path_a0, path_r0, PL)
             fresh = existing == 0
-            slot = jnp.int32(i + 1)                   # preallocated node id
+            slot_b = n0 + i                       # per-board node id [B]
 
             # Step every board's selected edge (results unused when the child
             # already exists — terminal revisits only).
@@ -392,10 +461,6 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             probs = _normalize_masked(probs, child_valid)
             child_term = jnp.abs(term_vec).sum(-1) > 0
 
-            def dus(arr, upd):
-                return jax.lax.dynamic_update_slice_in_dim(
-                    arr, upd[:, None].astype(arr.dtype), slot, axis=1)
-
             new_sc = jnp.zeros((B, 8), jnp.float32)\
                 .at[:, _NV].set(values[:, 0])\
                 .at[:, _NT].set(child_term.astype(jnp.float32))\
@@ -403,11 +468,12 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             new_sc = jax.lax.dynamic_update_slice_in_dim(
                 new_sc, term_vec, _NTV, axis=1)
             tree = tree._replace(
-                states=dus(tree.states, child_state),
-                node_sc=dus(tree.node_sc, new_sc),
+                states=_write_row(tree.states, slot_b, child_state),
+                node_sc=_write_row(tree.node_sc, slot_b, new_sc),
+                parent=_write_row(tree.parent, slot_b, parent),
             )
 
-            leaf = jnp.where(fresh, slot, existing)
+            leaf = jnp.where(fresh, slot_b, existing)
             leaf_sc = _row(tree.node_sc, leaf)                     # [B, 8]
             leaf_term = leaf_sc[:, _NT] > 0.0
             leaf_rot = leaf_sc[:, _NC].astype(jnp.int32)
@@ -415,7 +481,7 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             value_vec = jnp.where(leaf_term[:, None], leaf_tv, values)
             return _backprop_fused(tree, path_p, path_a, path_r, depth,
                                    value_vec, leaf_rot, parent, action, fresh,
-                                   slot, _pack_pvalid(probs, child_valid),
+                                   slot_b, _pack_pvalid(probs, child_valid),
                                    pallas_backup=cfg.pallas_backup)
 
         tree = jax.lax.fori_loop(0, S, sim_body, tree)
@@ -439,7 +505,131 @@ def build_search(mcts_cfg: MCTSConfig, num_players: int,
             adj = jnp.where(counts == best, counts, pruned)
             out_counts = jnp.where(adj > 1, adj, 0).astype(jnp.float32)
 
-        return SearchResult(counts=out_counts, raw_counts=counts, q=q,
-                            root_value=v0, root_prior=root_prior)
+        result = SearchResult(counts=out_counts, raw_counts=counts, q=q,
+                              root_value=v0, root_prior=root_prior)
+        return result, tree, n0 + S
+
+    return init_tree, core, M
+
+
+def build_search(mcts_cfg: MCTSConfig, num_players: int,
+                 eval_fn: EvalFn, step_fn: StepFn, valid_fn):
+    """Returns ``search(params, roots [B,R,7] int8, rng) -> SearchResult`` —
+    a fresh tree per call (no cross-move reuse).
+
+    ``eval_fn(params, states, valids)`` must return normalized masked policy
+    probabilities and per-seat values in the state's own frame."""
+    init_tree, core, _ = _build_core(mcts_cfg, num_players, eval_fn, step_fn,
+                                     valid_fn, keep_cap=0)
+
+    def search(params, roots, rng):
+        tree, n0 = init_tree(roots)
+        result, _, _ = core(params, tree, n0, rng)
+        return result
 
     return search
+
+
+def build_reusing_search(mcts_cfg: MCTSConfig, num_players: int,
+                         eval_fn: EvalFn, step_fn: StepFn, valid_fn,
+                         keep_cap: int = 0) -> ReusingSearch:
+    """Tree-reusing variant: ``run`` searches from an explicit tree carry and
+    ``reroot`` re-roots it on the played action (reference MCTS.py:27-36
+    keeps its dict tree across moves within a game).
+
+    ``keep_cap`` bounds the carried subtree (default: num_sims).  Tree
+    capacity is ``num_sims + keep_cap + 1``."""
+    if keep_cap <= 0:
+        keep_cap = mcts_cfg.num_sims
+    init_tree, core, M = _build_core(mcts_cfg, num_players, eval_fn, step_fn,
+                                     valid_fn, keep_cap=keep_cap)
+    P = num_players
+    KMAX = keep_cap + 1          # kept nodes incl. the new root
+
+    def reroot(tree: Tree, actions, next_states):
+        """Re-root on (root, actions): compact the surviving subtree to the
+        buffer head.  Per board, reuse applies only when the played edge has
+        an expanded, non-terminal child whose stored state equals the REAL
+        next state (chance draws must have matched the deterministic in-tree
+        collapse — the same condition under which the reference's
+        state-bytes dict lookup hits)."""
+        B, Mc, _, A = tree.stats.shape
+        ar_m = jnp.arange(Mc, dtype=jnp.int32)[None, :]             # [1, M]
+
+        c_star = jnp.take_along_axis(
+            tree.stats[:, 0, _CHILD, :], actions[:, None], axis=1,
+            mode="promise_in_bounds")[:, 0].astype(jnp.int32)       # [B]
+        has = c_star > 0
+        child_states = _row(tree.states, c_star)
+        match = (child_states == next_states).reshape(B, -1).all(-1)
+        child_term = _row(tree.node_sc, c_star)[:, _NT] > 0.0
+        valid = has & match & ~child_term
+
+        # reachability from c_star: parent-pointer doubling with absorbing
+        # states {c_star, root}; anc == c_star <=> node is in the subtree
+        anc = jnp.where(ar_m == c_star[:, None], c_star[:, None],
+                        tree.parent)
+        for _ in range(max(Mc - 1, 1).bit_length()):
+            anc = jnp.take_along_axis(anc, anc, axis=1,
+                                      mode="promise_in_bounds")
+        keep = (anc == c_star[:, None]) & valid[:, None]            # [B, M]
+
+        # rank: c_star first, then kept nodes by visit count (desc), then
+        # non-kept.  Stable sort + N(parent) >= N(child) + parents allocated
+        # before children => an ancestor always precedes its descendants, so
+        # truncation at KMAX never keeps an orphan.
+        n_i = jnp.minimum(tree.node_sc[:, :, _NN], 2.0 ** 28).astype(jnp.int32)
+        key = ((ar_m == c_star[:, None]).astype(jnp.int32) * (1 << 30)
+               + keep.astype(jnp.int32) * (1 << 29) + n_i)
+        order = jnp.argsort(-key, axis=1, stable=True)              # [B, M]
+        rank = jnp.zeros((B, Mc), jnp.int32).at[
+            jnp.arange(B)[:, None], order].set(ar_m)
+        count = keep.sum(1)
+        n_kept = jnp.where(valid, jnp.minimum(count, KMAX), 1)
+        keep_fin = keep & (rank < n_kept[:, None])
+        new_id = jnp.where(keep_fin, rank, 0)
+
+        # remap child pointers and parent ids in the OLD layout
+        child_old = tree.stats[:, :, _CHILD, :].astype(jnp.int32)
+        flat = child_old.reshape(B, Mc * A)
+        keep_c = jnp.take_along_axis(keep_fin, flat, axis=1,
+                                     mode="promise_in_bounds")
+        id_c = jnp.take_along_axis(new_id, flat, axis=1,
+                                   mode="promise_in_bounds")
+        child_new = jnp.where((flat > 0) & keep_c, id_c, 0)\
+            .reshape(B, Mc, A).astype(jnp.float32)
+        stats_old = tree.stats.at[:, :, _CHILD, :].set(child_new)
+
+        par_keep = jnp.take_along_axis(keep_fin, tree.parent, axis=1,
+                                       mode="promise_in_bounds")
+        par_new = jnp.where(par_keep, jnp.take_along_axis(
+            new_id, tree.parent, axis=1, mode="promise_in_bounds"), 0)
+
+        # seat rotations become relative to the new root
+        rot_c = _row(tree.node_sc, c_star)[:, _NC]
+        rot_new = jnp.mod(tree.node_sc[:, :, _NC] - rot_c[:, None], P)
+        sc_old = tree.node_sc.at[:, :, _NC].set(rot_new)
+
+        # gather rows into the new order, then blank rows >= n_kept and
+        # whole boards without valid reuse
+        def g(arr):
+            idx = order.reshape((B, Mc) + (1,) * (arr.ndim - 2))
+            return jnp.take_along_axis(arr, idx, axis=1,
+                                       mode="promise_in_bounds")
+
+        live = (ar_m < n_kept[:, None]) & valid[:, None]            # [B, M]
+        l4 = live[:, :, None, None]
+        empty_stats = jnp.zeros((4, A), jnp.float32)\
+            .at[_PVALID].set(-1.0)[None, None]
+        new_tree = Tree(
+            states=jnp.where(l4, g(tree.states), 0)
+                   .at[:, 0].set(next_states),
+            stats=jnp.where(l4, g(stats_old), empty_stats),
+            node_sc=jnp.where(live[:, :, None], g(sc_old), 0.0),
+            parent=jnp.where(live, jnp.take_along_axis(
+                par_new, order, axis=1, mode="promise_in_bounds"), 0),
+        )
+        return new_tree, n_kept
+
+    return ReusingSearch(init_tree=init_tree, run=core, reroot=reroot,
+                         capacity=M)

@@ -44,6 +44,10 @@ class SelfPlayConfig:
     prior_temp: float = 1.25       # args.temperature[0]
     max_moves: int = 0             # 0 -> env max
     chunk_moves: int = 16          # moves fused into one jitted scan call
+    # carry each board's search tree across moves, re-rooted on the played
+    # action (reference MCTS.py:27-36 keeps its tree within a game); reuse
+    # only validates when the real chance draw matched the in-tree collapse
+    tree_reuse: bool = True
 
 
 class SelfPlayEngine:
@@ -111,6 +115,20 @@ class SelfPlayEngine:
         search_fast_fn = M.build_search(fast, self.n, eval_fn, step_fn, valid_fn)
         n = self.n
 
+        # Tree-reusing variants share ONE capacity so the whole batch carries
+        # a single tree pytree regardless of which half (full/fast) a board
+        # lands in each move; reroot caps the kept subtree for the stricter
+        # (full) follow-up search.
+        if cfg.tree_reuse:
+            rs_full = M.build_reusing_search(
+                full, self.n, eval_fn, step_fn, valid_fn,
+                keep_cap=full.num_sims)
+            rs_fast = M.build_reusing_search(
+                fast, self.n, eval_fn, step_fn, valid_fn,
+                keep_cap=rs_full.capacity - fast.num_sims - 1)
+            assert rs_fast.capacity == rs_full.capacity
+            self.init_tree = jax.jit(rs_full.init_tree)
+
         def _resolve_nobles(bundle, states_mid, adv, key):
             """Boards whose last step left a pending noble choice (adv==0)
             pick a noble via a fast search in the same mover's frame; all
@@ -143,30 +161,49 @@ class SelfPlayEngine:
         elif cfg.prob_full > 0.0:
             B_full = min(max(B_full, 1), B - 1) if B > 1 else B
 
-        def _chunk(bundle, states, offset, move0, done, results, key):
+        def _chunk(bundle, carry0, key):
             def body(carry, key_t):
-                states, offset, move, done, results = carry
+                if cfg.tree_reuse:
+                    states, offset, move, done, results, tree, nn_t = carry
+                else:
+                    states, offset, move, done, results = carry
                 k_part, ks, ks2, ka, ku, kn = jax.random.split(key_t, 6)
                 valids = jax.vmap(valid_fn)(states)
 
                 # per-board full/fast partition (stratified PCR, MCTS.py:54-56);
                 # finished boards sort last so they land in the fast half
-                if B_full >= B:
-                    res = search_full_fn(bundle, states, ks)
+                if B_full >= B or B_full == 0:
+                    if cfg.tree_reuse:
+                        rs = rs_full if B_full >= B else rs_fast
+                        res, tree, nn_t = rs.run(bundle, tree, nn_t, ks)
+                    else:
+                        sfn = search_full_fn if B_full >= B else search_fast_fn
+                        res = sfn(bundle, states, ks)
                     counts, q = res.counts, res.q
-                    is_full_b = jnp.ones((B,), jnp.bool_)
-                elif B_full == 0:
-                    res = search_fast_fn(bundle, states, ks)
-                    counts, q = res.counts, res.q
-                    is_full_b = jnp.zeros((B,), jnp.bool_)
+                    is_full_b = jnp.full((B,), B_full >= B, jnp.bool_)
                 else:
                     u_b = jax.random.uniform(k_part, (B,))
                     perm = jnp.argsort(u_b + done.astype(jnp.float32))
                     idx_full, idx_fast = perm[:B_full], perm[B_full:]
-                    res_f = search_full_fn(
-                        bundle, jnp.take(states, idx_full, 0), ks)
-                    res_s = search_fast_fn(
-                        bundle, jnp.take(states, idx_fast, 0), ks2)
+                    if cfg.tree_reuse:
+                        tf = jax.tree_util.tree_map(
+                            lambda x: jnp.take(x, idx_full, 0), tree)
+                        ts = jax.tree_util.tree_map(
+                            lambda x: jnp.take(x, idx_fast, 0), tree)
+                        res_f, tf, nf = rs_full.run(
+                            bundle, tf, jnp.take(nn_t, idx_full, 0), ks)
+                        res_s, ts, nns = rs_fast.run(
+                            bundle, ts, jnp.take(nn_t, idx_fast, 0), ks2)
+                        tree = jax.tree_util.tree_map(
+                            lambda o, a_, b_: o.at[idx_full].set(a_)
+                                               .at[idx_fast].set(b_),
+                            tree, tf, ts)
+                        nn_t = nn_t.at[idx_full].set(nf).at[idx_fast].set(nns)
+                    else:
+                        res_f = search_full_fn(
+                            bundle, jnp.take(states, idx_full, 0), ks)
+                        res_s = search_fast_fn(
+                            bundle, jnp.take(states, idx_fast, 0), ks2)
                     A_ = res_f.counts.shape[1]
                     counts = jnp.zeros((B, A_), res_f.counts.dtype)\
                         .at[idx_full].set(res_f.counts)\
@@ -210,15 +247,23 @@ class SelfPlayEngine:
                 results = jnp.where(newly[:, None], ends, results)
                 out = (states, counts, valids, q, offset,
                        ~done, is_full_b)
-                return ((states2, offset2, move + 1, done | newly, results),
-                        out)
+                if cfg.tree_reuse:
+                    # re-root every board's tree on the played action; boards
+                    # whose real chance draw diverged from the in-tree
+                    # collapse (or that resolved a noble ply) fall back to a
+                    # fresh root automatically via the state-match check
+                    tree, nn_t = rs_full.reroot(tree, actions, states2)
+                    next_carry = (states2, offset2, move + 1, done | newly,
+                                  results, tree, nn_t)
+                else:
+                    next_carry = (states2, offset2, move + 1, done | newly,
+                                  results)
+                return next_carry, out
 
-            init = (states, offset, move0, done, results)
-            (states, offset, move, done, results), outs = jax.lax.scan(
-                body, init, jax.random.split(key, cfg.chunk_moves))
-            return (states, offset, move, done, results), outs
+            return jax.lax.scan(body, carry0,
+                                jax.random.split(key, cfg.chunk_moves))
 
-        self.chunk = jax.jit(_chunk)
+        self.chunk = jax.jit(_chunk, donate_argnums=(1,))
 
     def run_games(self, params_bundle, key, np_rng: np.random.Generator,
                   collect: bool = True):
@@ -231,10 +276,10 @@ class SelfPlayEngine:
 
         key, k0 = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
         states = self.init_batch(k0)
-        offset = jnp.int32(0)
-        move = jnp.int32(0)
-        done = jnp.zeros(B, jnp.bool_)
-        results = jnp.zeros((B, n), jnp.float32)
+        carry = (states, jnp.int32(0), jnp.int32(0),
+                 jnp.zeros(B, jnp.bool_), jnp.zeros((B, n), jnp.float32))
+        if cfg.tree_reuse:
+            carry = carry + self.init_tree(states)
         collected = []          # per-chunk host copies of full-search moves
         total_moves = 0
         total_sims = 0
@@ -242,8 +287,8 @@ class SelfPlayEngine:
 
         for _ in range((max_moves + cfg.chunk_moves - 1) // cfg.chunk_moves):
             key, kc = jax.random.split(key)
-            (states, offset, move, done, results), outs = self.chunk(
-                params_bundle, states, offset, move, done, results, kc)
+            carry, outs = self.chunk(params_bundle, carry, kc)
+            states, offset, move, done, results = carry[:5]
             canon_t, counts_t, valids_t, q_t, player_t, alive_t, full_t = (
                 np.asarray(o) for o in outs)
             total_moves += int(alive_t.sum())
