@@ -48,6 +48,12 @@ class SelfPlayConfig:
     # action (reference MCTS.py:27-36 keeps its tree within a game); reuse
     # only validates when the real chance draw matched the in-tree collapse
     tree_reuse: bool = True
+    # descent/path-buffer depth cap: with reused trees the worst-case path
+    # equals the tree capacity (2x sims), which would double the backup
+    # einsum's level axis; real Splendor searches stay far shallower, so cap
+    # it (the node at the cap is re-evaluated, not expanded — mctx max_depth
+    # semantics)
+    max_depth: int = 64
 
 
 class SelfPlayEngine:
@@ -61,10 +67,11 @@ class SelfPlayEngine:
         full = M.MCTSConfig(
             num_sims=cfg.num_sims, cpuct=cfg.cpuct, fpu=cfg.fpu,
             forced_playouts=cfg.forced_playouts, add_noise=True,
-            dirichlet_alpha=cfg.dirichlet_alpha, prior_temp=cfg.prior_temp)
+            dirichlet_alpha=cfg.dirichlet_alpha, prior_temp=cfg.prior_temp,
+            max_depth=cfg.max_depth)
         fast = M.MCTSConfig(
             num_sims=max(cfg.num_sims // cfg.ratio_full, 2),
-            cpuct=cfg.cpuct, fpu=cfg.fpu)
+            cpuct=cfg.cpuct, fpu=cfg.fpu, max_depth=cfg.max_depth)
         ecfg = env_cfg
 
         def _init_batch(key):
