@@ -74,16 +74,38 @@ class ReplayBuffer:
         return out
 
     # ------------------------------------------------------------------ I/O
+    # On-disk format v2: per-iteration columnar slabs zlib-compressed through
+    # the native core (native/replay_core.cpp; numpy/zlib fallback) — the
+    # whole-slab analog of the reference's per-example zlib pickles
+    # (Coach.py:100, level 1, ~1.2 kB/example budget per main.py:138).
     def save(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = {"format": "azt-replay-v2", "iterations": []}
+        for it in self.iterations:
+            rec = {}
+            for name, arr in it.__dict__.items():
+                arr = np.ascontiguousarray(arr)
+                rec[name] = (arr.shape, arr.dtype.str,
+                             native.compress(arr.tobytes(), level=1))
+            blob["iterations"].append(rec)
         with open(path, "wb") as f:
-            pickle.dump([it.__dict__ for it in self.iterations], f,
-                        protocol=pickle.HIGHEST_PROTOCOL)
+            pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
 
     @classmethod
     def load(cls, path: str, history: int = 5, max_per_iter: int = 400_000):
         buf = cls(history=history, max_per_iter=max_per_iter)
         with open(path, "rb") as f:
-            for d in pickle.load(f):
+            blob = pickle.load(f)
+        if isinstance(blob, dict) and blob.get("format") == "azt-replay-v2":
+            for rec in blob["iterations"]:
+                arrays = {}
+                for name, (shape, dtype, data) in rec.items():
+                    size = int(np.prod(shape)) * np.dtype(dtype).itemsize
+                    arrays[name] = np.frombuffer(
+                        native.decompress(data, size),
+                        dtype=dtype).reshape(shape)
+                buf.add_iteration(Iteration(**arrays))
+        else:                                   # v1: raw array dicts
+            for d in blob:
                 buf.add_iteration(Iteration(**d))
         return buf
