@@ -135,9 +135,77 @@ class SplendorNet(nn.Module):
         return log_pi, value, log_sdiff
 
 
+class SplendorNetV2(nn.Module):
+    """TPU-optimized variant (nn_version=2): same three-head interface, wider
+    trunk with pre-activation residual MLP blocks after the flatten.  This is
+    this framework's own forward step on the version ladder; versions 0/1
+    are the reference's retained architectures (SplendorNNet_prev_prev.py /
+    SplendorNNet.py — their layer stacks are identical, the eras differ by
+    action-space size, handled here by ``cfg.action_size``)."""
+    cfg: NetConfig
+
+    @nn.compact
+    def __call__(self, boards, valid_actions, train: bool = False):
+        c = self.cfg
+        w = max(c.width, 256)
+        kinit = nn.initializers.kaiming_uniform()
+        drop = lambda y: nn.Dropout(c.dropout, deterministic=not train)(y)  # noqa: E731
+
+        x = jnp.swapaxes(boards, -1, -2)            # (B, 7, nb_vect)
+        x = nn.Dense(w, kernel_init=kinit)(x)
+        x = nn.BatchNorm(use_running_average=not train, axis=1)(x)
+        x = nn.relu(x)
+        x = nn.relu(nn.Dense(w, kernel_init=kinit)(x))
+        x = drop(DenseAndPartialGPool(w, nb_groups=4, nb_items=8,
+                                      use_bn=True)(x, train))
+        x = FlattenAndPartialGPool(length_to_pool=w // 2,
+                                   nb_channels_to_pool=5)(x)
+        x = x[:, 0, :]
+        x = nn.relu(nn.Dense(w, kernel_init=kinit)(x))
+        for _ in range(2):                          # residual MLP blocks
+            h = nn.BatchNorm(use_running_average=not train)(x)
+            h = nn.relu(h)
+            h = nn.Dense(w, kernel_init=kinit)(h)
+            h = nn.relu(h)
+            h = drop(nn.Dense(w, kernel_init=kinit)(h))
+            x = x + h
+
+        pi_h = nn.Dense(w, kernel_init=kinit)(x)
+        pi = nn.Dense(c.action_size, kernel_init=kinit)(pi_h)
+        v_h = nn.Dense(w, kernel_init=kinit)(x)
+        v = nn.Dense(c.num_players, kernel_init=kinit)(v_h)
+        sd_h = nn.Dense(w, kernel_init=kinit)(x)
+        sd = nn.Dense(c.num_scdiffs * c.scdiff_size, kernel_init=kinit)(sd_h)
+
+        pi = jnp.where(valid_actions, pi, LOW_VALUE)
+        log_pi = jax.nn.log_softmax(pi, axis=-1)
+        value = jnp.tanh(v)
+        log_sdiff = jax.nn.log_softmax(
+            sd.reshape(-1, c.num_scdiffs, c.scdiff_size), axis=-1)
+        return log_pi, value, log_sdiff
+
+
+# nn_version registry (reference keeps _prev/_prev_prev architectures
+# selectable via -V for warm starts and comparison, SplendorNNet.py:69,
+# main.py:126).  Versions 0 and 1 share the reference layer stack — the eras
+# differ by action-space size (366/406/409), which lives in cfg.action_size
+# and is bridged by utils.checkpoint.transfer_partial /
+# compat.torch_import.load_as_bundle.
+NET_VERSIONS = {0: SplendorNet, 1: SplendorNet, 2: SplendorNetV2}
+
+
+def build_net(cfg: NetConfig) -> nn.Module:
+    try:
+        return NET_VERSIONS[cfg.nn_version](cfg)
+    except KeyError:
+        raise ValueError(
+            f"unknown nn_version {cfg.nn_version}; "
+            f"registered: {sorted(NET_VERSIONS)}") from None
+
+
 def init_params(cfg: NetConfig, key: jax.Array):
     """Returns (params, batch_stats)."""
-    net = SplendorNet(cfg)
+    net = build_net(cfg)
     boards = jnp.zeros((2, cfg.nb_vect, cfg.vect_dim), jnp.float32)
     valids = jnp.ones((2, cfg.action_size), jnp.bool_)
     variables = net.init({"params": key, "dropout": key}, boards, valids, False)
@@ -147,7 +215,7 @@ def init_params(cfg: NetConfig, key: jax.Array):
 def apply_inference(cfg: NetConfig, params, batch_stats, boards, valid_actions):
     """Eval-mode forward. boards (B, nb_vect, 7) float32, valids (B, A) bool.
     Returns (pi probs, v, log_sdiff)."""
-    net = SplendorNet(cfg)
+    net = build_net(cfg)
     log_pi, v, log_sd = net.apply(
         {"params": params, "batch_stats": batch_stats},
         boards, valid_actions, False)
@@ -157,7 +225,7 @@ def apply_inference(cfg: NetConfig, params, batch_stats, boards, valid_actions):
 def apply_train(cfg: NetConfig, params, batch_stats, boards, valid_actions,
                 dropout_key):
     """Train-mode forward; returns ((log_pi, v, log_sdiff), new_batch_stats)."""
-    net = SplendorNet(cfg)
+    net = build_net(cfg)
     out, mutated = net.apply(
         {"params": params, "batch_stats": batch_stats},
         boards, valid_actions, True,

@@ -60,6 +60,9 @@ class CoachConfig:
     # learning-curve evaluation: pit the current net vs random AND greedy
     # baselines every iteration (0 = off); results land in metrics.jsonl
     eval_baseline_games: int = 0
+    # shard self-play + training over all visible devices via a mesh with an
+    # 'env' axis (no-op on one chip; extends to pods via jax.distributed)
+    use_mesh: bool = True
     checkpoint_dir: str = "./checkpoints"
     seed: int = 0
 
@@ -79,8 +82,23 @@ class Coach:
         self.train_cfg = TR.TrainConfig(
             learn_rate=cfg.learn_rate, vl_weight=cfg.vl_weight,
             batch_size=cfg.batch_size, epochs=cfg.epochs)
-        self.train_step = TR.make_train_step(self.env_cfg, self.net_cfg,
-                                             self.train_cfg)
+
+        # env-sharded SPMD across devices when more than one is visible; the
+        # mesh spans the largest device count that evenly divides both the
+        # self-play batch and the training minibatch
+        self.mesh = None
+        n_mesh = next((k for k in range(jax.device_count(), 1, -1)
+                       if cfg.selfplay_batch % k == 0
+                       and cfg.batch_size % k == 0), 1)
+        if cfg.use_mesh and n_mesh > 1:
+            from ..parallel import mesh as MP
+            self.mesh = MP.make_mesh(n_mesh)
+            self.train_step = MP.make_sharded_train_step(
+                self.env_cfg, self.net_cfg, self.train_cfg, self.mesh)
+            log.info("mesh: sharding over %d devices", n_mesh)
+        else:
+            self.train_step = TR.make_train_step(self.env_cfg, self.net_cfg,
+                                                 self.train_cfg)
 
         sp_cfg = SP.SelfPlayConfig(
             batch_size=cfg.selfplay_batch, num_sims=cfg.num_sims,
@@ -88,7 +106,8 @@ class Coach:
             temp_threshold=cfg.temp_threshold, cpuct=cfg.cpuct, fpu=cfg.fpu,
             forced_playouts=cfg.forced_playouts,
             dirichlet_alpha=cfg.dirichlet_alpha, prior_temp=cfg.prior_temp)
-        self.selfplay = SP.SelfPlayEngine(self.env_cfg, self.eval_fn, sp_cfg)
+        self.selfplay = SP.SelfPlayEngine(self.env_cfg, self.eval_fn, sp_cfg,
+                                          mesh=self.mesh)
 
         gate_sims = cfg.gate_num_sims or cfg.num_sims
         gate_mcfg = M.MCTSConfig(num_sims=gate_sims, cpuct=cfg.cpuct,

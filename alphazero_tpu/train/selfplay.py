@@ -57,9 +57,15 @@ class SelfPlayConfig:
 
 
 class SelfPlayEngine:
-    def __init__(self, env_cfg: E.SplendorConfig, eval_fn, cfg: SelfPlayConfig):
+    def __init__(self, env_cfg: E.SplendorConfig, eval_fn, cfg: SelfPlayConfig,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with an 'env' axis — the
+        self-play batch (boards, trees, results) shards over it and GSPMD
+        propagates the sharding through the fused move chunks (SPMD scaling
+        per SURVEY §7; the reference is single-process, README.md:112-115)."""
         self.env_cfg = env_cfg
         self.cfg = cfg
+        self.mesh = mesh
         self.n = env_cfg.num_players
         step_fn = A.make_search_step_fn(env_cfg)
         valid_fn = A.make_valid_fn(env_cfg)
@@ -287,6 +293,19 @@ class SelfPlayEngine:
                  jnp.zeros(B, jnp.bool_), jnp.zeros((B, n), jnp.float32))
         if cfg.tree_reuse:
             carry = carry + self.init_tree(states)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(self.mesh, P("env"))
+            rep = NamedSharding(self.mesh, P())
+
+            def place(x):
+                sh = data if getattr(x, "ndim", 0) >= 1 and x.shape[0] == B \
+                    else rep
+                return jax.device_put(x, sh)
+
+            carry = jax.tree_util.tree_map(place, carry)
+            params_bundle = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), params_bundle)
         collected = []          # per-chunk host copies of full-search moves
         total_moves = 0
         total_sims = 0
