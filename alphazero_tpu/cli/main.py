@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="forced_playouts")
     p.add_argument("--surprise-weight", "-W", action="store_true",
                    dest="surprise_weight")
+    p.add_argument("--val-split", type=float, default=0.0, dest="val_split",
+                   help="held-out validation fraction of the replay buffer "
+                        "(reference GenericNNetWrapper.py:108-137)")
     p.add_argument("--eval-baselines", type=int, default=0,
                    dest="eval_baselines",
                    help="games vs random AND greedy per iteration for the "
@@ -85,6 +88,7 @@ def args_to_config(args) -> CoachConfig:
         batch_size=args.batch_size,
         epochs=args.epochs,
         surprise_weight=args.surprise_weight,
+        val_split=args.val_split,
         nn_version=args.nn_version,
         history=args.numItersHistory,
         update_threshold=args.updateThreshold,

@@ -90,6 +90,7 @@ class BatchArena:
         self._valids = [by_limit[self.token_limits[p]][1]
                         for p in range(cfg.num_players)]
         self.ends = jax.jit(jax.vmap(lambda s: E.check_end_game(cfg, s)))
+        self.judge = jax.jit(jax.vmap(lambda s: E.judge(cfg, s)))
         self.scores = jax.jit(jax.vmap(lambda s: E.all_scores(cfg, s)))
 
     def step(self, states, actions, player, key):
@@ -132,8 +133,10 @@ class BatchArena:
             if done.all():
                 break
         if not done.all():
-            ends = np.asarray(self.ends(states))
-            outcomes[~done] = ends[~done]
+            # move-cap cutoff: settle by score + card-count tiebreak even off
+            # a turn boundary (reference Arena.py relies on the engine judge)
+            forced = np.asarray(self.judge(states))
+            outcomes[~done] = forced[~done]
         return MatchResult(outcomes=outcomes,
                            scores=np.asarray(self.scores(states)),
                            moves=moves)
@@ -296,6 +299,7 @@ class FusedMatch:
 
         self.init = jax.jit(_init)
         self.chunk = jax.jit(_chunk)
+        self.judge = jax.jit(jax.vmap(lambda s: E.judge(cfg, s)))
         self.scores = jax.jit(jax.vmap(lambda s: E.all_scores(cfg, s)))
 
     def play(self, seat_bundles: list, key) -> MatchResult:
@@ -318,6 +322,15 @@ class FusedMatch:
             if bool(np.asarray(done).all()):
                 break
         results_np = np.asarray(results)
+        done_np = np.asarray(done)
+        if not done_np.all():
+            # loop exhausted with games still running (e.g. noble-select
+            # double-plies consuming scan steps): settle them by the engine
+            # judge instead of tallying all-zero rows as draws.  States are
+            # canonical; roll back to absolute seats like the in-scan ends.
+            forced = np.roll(np.asarray(self.judge(states)), int(offset),
+                             axis=1)
+            results_np = np.where(done_np[:, None], results_np, forced)
         scores = np.roll(np.asarray(self.scores(states)), int(offset), axis=1)
         return MatchResult(outcomes=results_np, scores=scores, moves=moves)
 

@@ -12,7 +12,7 @@ from . import env as E
 
 
 def net_config_for(cfg: E.SplendorConfig, dropout: float = 0.3,
-                   nn_version: int = 1) -> N.NetConfig:
+                   nn_version: int = 1, width: int = 128) -> N.NetConfig:
     return N.NetConfig(
         nb_vect=cfg.rows,
         vect_dim=7,
@@ -21,6 +21,7 @@ def net_config_for(cfg: E.SplendorConfig, dropout: float = 0.3,
         max_score_diff=15,
         dropout=dropout,
         nn_version=nn_version,
+        width=width,
     )
 
 

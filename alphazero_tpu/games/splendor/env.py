@@ -558,16 +558,13 @@ def all_scores(cfg: SplendorConfig, state: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([get_score(cfg, state, p) for p in range(cfg.num_players)])
 
 
-def check_end_game(cfg: SplendorConfig, state: jnp.ndarray) -> jnp.ndarray:
-    """Per-player outcome vector; zeros while the game is running (reference
-    check_end_game + judge, SplendorLogicNumba.py:306-334)."""
+def judge(cfg: SplendorConfig, state: jnp.ndarray) -> jnp.ndarray:
+    """Unconditional winner vector by score with the card-count tiebreak
+    (reference judge, SplendorLogicNumba.py:306-334) — used to settle games
+    cut off at a move cap regardless of the turn-boundary gate."""
     n = cfg.num_players
-    rnd = get_round(cfg, state)
     scores = all_scores(cfg, state)
     score_max = scores.max()
-    at_turn_boundary = (rnd % n) == 0
-    over = (score_max >= cfg.score_win) | (rnd >= cfg.max_moves)
-
     num_cards = jnp.stack(
         [_player_cards(cfg, state, p)[:5].sum() for p in range(n)])
     single = (scores == score_max).sum() == 1
@@ -577,7 +574,18 @@ def check_end_game(cfg: SplendorConfig, state: jnp.ndarray) -> jnp.ndarray:
     min_ids = masked == mmin
     tie_val = jnp.where(min_ids.sum() > 1, 0.01, 1.0)
     tiebreak_winners = jnp.where(min_ids, tie_val, -1.0)
-    winners = jnp.where(single, simple_winners, tiebreak_winners).astype(jnp.float32)
+    return jnp.where(single, simple_winners, tiebreak_winners).astype(jnp.float32)
+
+
+def check_end_game(cfg: SplendorConfig, state: jnp.ndarray) -> jnp.ndarray:
+    """Per-player outcome vector; zeros while the game is running (reference
+    check_end_game + judge, SplendorLogicNumba.py:306-334)."""
+    n = cfg.num_players
+    rnd = get_round(cfg, state)
+    scores = all_scores(cfg, state)
+    at_turn_boundary = (rnd % n) == 0
+    over = (scores.max() >= cfg.score_win) | (rnd >= cfg.max_moves)
+    winners = judge(cfg, state)
     return jnp.where(at_turn_boundary & over, winners, jnp.zeros(n, jnp.float32))
 
 

@@ -49,8 +49,10 @@ class CoachConfig:
     batch_size: int = 32
     epochs: int = 2
     surprise_weight: bool = False
+    val_split: float = 0.0               # held-out validation fraction
     dropout: float = 0.3
     nn_version: int = 1
+    net_width: int = 128                 # trunk width (reference fixed 128)
     history: int = 5                      # numItersHistory
     max_examples_per_iter: int = 400_000
     # gating
@@ -72,7 +74,8 @@ class Coach:
         self.cfg = cfg
         self.env_cfg = E.SplendorConfig(num_players=cfg.num_players)
         self.net_cfg = A.net_config_for(self.env_cfg, dropout=cfg.dropout,
-                                        nn_version=cfg.nn_version)
+                                        nn_version=cfg.nn_version,
+                                        width=cfg.net_width)
         self.eval_fn = A.make_eval_fn(self.net_cfg)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.np_rng = np.random.default_rng(cfg.seed)
@@ -81,7 +84,11 @@ class Coach:
         self.train_state = TR.init_train_state(self.net_cfg, k_init)
         self.train_cfg = TR.TrainConfig(
             learn_rate=cfg.learn_rate, vl_weight=cfg.vl_weight,
-            batch_size=cfg.batch_size, epochs=cfg.epochs)
+            batch_size=cfg.batch_size, epochs=cfg.epochs,
+            val_split=cfg.val_split)
+        self.eval_step = (TR.make_eval_step(self.env_cfg, self.net_cfg,
+                                            self.train_cfg)
+                          if cfg.val_split > 0 else None)
 
         # env-sharded SPMD across devices when more than one is visible; the
         # mesh spans the largest device count that evenly divides both the
@@ -162,9 +169,21 @@ class Coach:
 
     def train_iteration(self):
         self.key, k = jax.random.split(self.key)
+
+        def save_intermediary(epoch, state, metrics):
+            # rolling mid-train snapshot (reference intermediary checkpoints,
+            # GenericNNetWrapper.py:131-137)
+            if epoch + 1 < self.train_cfg.epochs:
+                CKPT.save_checkpoint(self.cfg.checkpoint_dir,
+                                     "intermediary.pt",
+                                     params=state.params,
+                                     batch_stats=state.batch_stats,
+                                     meta={"epoch": epoch, **metrics})
+
         self.train_state, metrics = TR.fit(
             self.train_state, self.train_step, self.replay, self.train_cfg,
-            self.np_rng, k, surprise_weight=self.cfg.surprise_weight)
+            self.np_rng, k, surprise_weight=self.cfg.surprise_weight,
+            eval_step_fn=self.eval_step, on_epoch_end=save_intermediary)
         return metrics
 
     def gate(self, old_bundle) -> tuple[bool, tuple[int, int, int]]:
@@ -287,7 +306,8 @@ class Coach:
 
     # --------------------------------------------------------------- resume
     def load_checkpoint(self, folder, filename, load_examples=True):
-        ckpt = CKPT.load_checkpoint(folder, filename)
+        # strict -> partial-transfer -> sibling-checkpoint fallback chain
+        ckpt = CKPT.load_network(folder, filename, self.train_state.params)
         ex_path = os.path.join(folder, "checkpoint.examples")
         if load_examples and os.path.exists(ex_path):
             self.replay = ReplayBuffer.load(
@@ -295,9 +315,8 @@ class Coach:
                 max_per_iter=self.cfg.max_examples_per_iter)
             log.info("resumed %d replay examples from %s",
                      len(self.replay), ex_path)
-        params = CKPT.transfer_partial(ckpt["params"], self.train_state.params)
         self.train_state = self.train_state._replace(
-            params=jax.tree_util.tree_map(jax.numpy.asarray, params),
+            params=jax.tree_util.tree_map(jax.numpy.asarray, ckpt["params"]),
             batch_stats=jax.tree_util.tree_map(jax.numpy.asarray,
                                                ckpt["batch_stats"]))
         diff = CKPT.compare_settings(folder, dataclasses.asdict(self.cfg))

@@ -53,25 +53,34 @@ class ReplayBuffer:
         return np.concatenate([getattr(it, name) for it in self.iterations])
 
     def sample(self, batch_size: int, rng: np.random.Generator,
-               surprise_weight: bool = False):
+               surprise_weight: bool = False, allowed: np.ndarray = None):
         """Random minibatch across the whole history (reference
         GenericNNetWrapper.py:70).  With surprise weighting, sampling
         probability is surprise-proportional plus a uniform floor (repairing
-        the reference's :333-341 intent)."""
+        the reference's :333-341 intent).  ``allowed`` restricts sampling to
+        a subset of flat indices (used to hold out a validation split,
+        reference GenericNNetWrapper.py:108-118)."""
         n = len(self)
         seed = int(rng.integers(0, 2 ** 62))
         if surprise_weight:
             s = self._flat("surprise").astype(np.float64)
             if s.ndim > 1:            # per-player vector -> mean over seats
                 s = s.mean(axis=1)
-            p = s / max(s.sum(), 1e-9) + 1.0 / n
+            if allowed is not None:
+                s = s[allowed]
+            p = s / max(s.sum(), 1e-9) + 1.0 / len(s)
             ids = native.sample_weighted(p.astype(np.float32), batch_size, seed)
         else:
-            ids = native.sample_uniform(n, batch_size, seed)
-        out = {}
-        for name in ("boards", "pi", "winner", "scdiff", "valids"):
-            out[name] = self._flat(name)[ids]
-        return out
+            pool = n if allowed is None else len(allowed)
+            ids = native.sample_uniform(pool, batch_size, seed)
+        if allowed is not None:
+            ids = allowed[ids]
+        return self.gather(ids)
+
+    def gather(self, ids: np.ndarray):
+        """Fixed-index batch (validation splits, deterministic probes)."""
+        return {name: self._flat(name)[ids]
+                for name in ("boards", "pi", "winner", "scdiff", "valids")}
 
     # ------------------------------------------------------------------ I/O
     # On-disk format v2: per-iteration columnar slabs zlib-compressed through

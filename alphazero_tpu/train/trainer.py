@@ -36,6 +36,10 @@ class TrainConfig:
     batch_size: int = 32
     epochs: int = 2
     augment: bool = True
+    # fraction of the replay buffer held out for validation-loss tracking
+    # (reference GenericNNetWrapper.py:108-137; 0 = off)
+    val_split: float = 0.0
+    max_val_examples: int = 4096
 
 
 def init_train_state(net_cfg: N.NetConfig, key) -> TrainState:
@@ -79,6 +83,31 @@ def make_train_step(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_eval_step(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
+                   cfg: TrainConfig):
+    """Deterministic forward + loss on a held-out batch (no dropout, running
+    batch-norm statistics, no update) — the validation probe of the reference
+    train loop (GenericNNetWrapper.py:119-137)."""
+    def eval_step(state: TrainState, batch):
+        boards = batch["boards"].astype(jnp.float32)
+        valids = batch["valids"]
+        targets = {
+            "pi": batch["pi"].astype(jnp.float32),
+            "v": batch["winner"].astype(jnp.float32),
+            "scdiff": L.scdiff_targets(batch["scdiff"].astype(jnp.int32),
+                                       net_cfg.num_scdiffs,
+                                       net_cfg.max_score_diff),
+        }
+        net = N.build_net(net_cfg)
+        outputs = net.apply({"params": state.params,
+                             "batch_stats": state.batch_stats},
+                            boards, valids, False)
+        _, metrics = L.total_loss(outputs, targets, cfg.vl_weight)
+        return metrics
+
+    return jax.jit(eval_step)
+
+
 def onecycle_lr(step: int, total_steps: int, peak: float,
                 pct_start: float = 0.3, div_factor: float = 25.0,
                 final_div_factor: float = 1e4) -> float:
@@ -97,18 +126,35 @@ def onecycle_lr(step: int, total_steps: int, peak: float,
 
 def fit(train_state: TrainState, train_step_fn, replay, cfg: TrainConfig,
         rng: np.random.Generator, key, surprise_weight: bool = False,
-        log_every: int = 0):
+        log_every: int = 0, eval_step_fn=None, on_epoch_end=None):
     """Run epochs x batches over the replay buffer (reference
-    GenericNNetWrapper.train).  Returns (train_state, last metrics)."""
+    GenericNNetWrapper.train).  Returns (train_state, last metrics).
+
+    With ``cfg.val_split`` > 0 and an ``eval_step_fn`` (make_eval_step), a
+    random slice of the replay buffer is held out of training and its loss is
+    reported per epoch as ``val_*`` metrics.  ``on_epoch_end(epoch,
+    train_state, metrics)`` hooks the reference's intermediary checkpoints
+    (GenericNNetWrapper.py:108-137)."""
     n = len(replay)
-    batch_count = max(n // cfg.batch_size, 1)
+    allowed = None
+    val_batch = None
+    if cfg.val_split > 0 and eval_step_fn is not None and n >= 4:
+        perm = rng.permutation(n)
+        val_n = min(max(int(n * cfg.val_split), 1), cfg.max_val_examples,
+                    n - 1)
+        val_ids, allowed = perm[:val_n], perm[val_n:]
+        val_batch = {k: jnp.asarray(v)
+                     for k, v in replay.gather(np.sort(val_ids)).items()}
+    pool = n if allowed is None else len(allowed)
+    batch_count = max(pool // cfg.batch_size, 1)
     total = cfg.epochs * batch_count
     metrics = {}
     step_i = 0
-    for _ in range(cfg.epochs):
+    for epoch in range(cfg.epochs):
         for _ in range(batch_count):
             batch_np = replay.sample(cfg.batch_size, rng,
-                                     surprise_weight=surprise_weight)
+                                     surprise_weight=surprise_weight,
+                                     allowed=allowed)
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             lr = onecycle_lr(step_i, total, cfg.learn_rate)
             key, sub = jax.random.split(key)
@@ -119,4 +165,10 @@ def fit(train_state: TrainState, train_step_fn, replay, cfg: TrainConfig,
                 m = {k: float(v) for k, v in metrics.items()}
                 print(f"  train step {step_i}/{total} "
                       f"loss={m['loss']:.4f} pi={m['pi']:.4f} v={m['v']:.4f}")
-    return train_state, {k: float(v) for k, v in metrics.items()}
+        metrics = {k: float(v) for k, v in metrics.items()}
+        if val_batch is not None:
+            vm = eval_step_fn(train_state, val_batch)
+            metrics.update({f"val_{k}": float(v) for k, v in vm.items()})
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, train_state, metrics)
+    return train_state, metrics

@@ -44,6 +44,71 @@ def load_checkpoint(folder: str, filename: str) -> dict:
         return pickle.load(f)
 
 
+def _shapes_match(loaded_params, target_params) -> bool:
+    try:
+        la = jax.tree_util.tree_leaves(loaded_params)
+        ta = jax.tree_util.tree_leaves(target_params)
+        return (len(la) == len(ta)
+                and all(np.shape(a) == np.shape(b) for a, b in zip(la, ta)))
+    except Exception:
+        return False
+
+
+def load_network(folder: str, filename: str, target_params=None) -> dict:
+    """Robust checkpoint load chain (reference load_network,
+    GenericNNetWrapper.py:215-260): strict load when every leaf shape matches
+    the target -> shape-sliced partial transfer across architectures ->
+    fall back to sibling checkpoints (temp.pt / best.pt / newest
+    checkpoint_N.pt) when the requested file is missing or unreadable.
+
+    Returns the checkpoint dict with ``params`` already reconciled against
+    ``target_params`` (when given) and a ``load_mode`` key in
+    {"strict", "partial"} plus ``load_source`` (the file actually used)."""
+    import logging
+    log = logging.getLogger(__name__)
+
+    candidates = [filename]
+    for alt in ("temp.pt", "best.pt"):
+        if alt != filename:
+            candidates.append(alt)
+    try:
+        iters = sorted(
+            (f for f in os.listdir(folder)
+             if f.startswith("checkpoint_") and f.endswith(".pt")),
+            key=lambda f: -int("".join(filter(str.isdigit, f)) or 0))
+        candidates.extend(f for f in iters if f not in candidates)
+    except OSError:
+        pass
+
+    last_err = None
+    for cand in candidates:
+        path = os.path.join(folder, cand)
+        if not os.path.exists(path):
+            continue
+        try:
+            ckpt = load_checkpoint(folder, cand)
+        except Exception as e:          # corrupt/truncated file: keep walking
+            log.warning("checkpoint %s unreadable (%s); trying next", path, e)
+            last_err = e
+            continue
+        if cand != filename:
+            log.warning("requested checkpoint %s unavailable; loaded %s",
+                        filename, cand)
+        if target_params is None or _shapes_match(ckpt["params"],
+                                                  target_params):
+            ckpt["load_mode"] = "strict"
+        else:
+            log.warning("architecture mismatch: shape-sliced partial weight "
+                        "transfer (reference GenericNNetWrapper.py:215-242)")
+            ckpt["params"] = transfer_partial(ckpt["params"], target_params)
+            ckpt["load_mode"] = "partial"
+        ckpt["load_source"] = cand
+        return ckpt
+    raise FileNotFoundError(
+        f"no loadable checkpoint in {folder!r} "
+        f"(tried {candidates!r})") from last_err
+
+
 def transfer_partial(loaded_params, target_params):
     """Min-shape sliced copy per leaf: grow/shrink architectures while keeping
     overlapping weights (reference load_not_strict,
