@@ -31,6 +31,7 @@ log = logging.getLogger(__name__)
 @dataclasses.dataclass
 class CoachConfig:
     num_players: int = 2
+    score_win: int = 15                  # rule variant lever (tests/smokes)
     num_iters: int = 50
     games_per_iter: int = 128            # numEps
     selfplay_batch: int = 128
@@ -72,7 +73,8 @@ class CoachConfig:
 class Coach:
     def __init__(self, cfg: CoachConfig):
         self.cfg = cfg
-        self.env_cfg = E.SplendorConfig(num_players=cfg.num_players)
+        self.env_cfg = E.SplendorConfig(num_players=cfg.num_players,
+                                        score_win=cfg.score_win)
         self.net_cfg = A.net_config_for(self.env_cfg, dropout=cfg.dropout,
                                         nn_version=cfg.nn_version,
                                         width=cfg.net_width)
@@ -184,6 +186,21 @@ class Coach:
             self.train_state, self.train_step, self.replay, self.train_cfg,
             self.np_rng, k, surprise_weight=self.cfg.surprise_weight,
             eval_step_fn=self.eval_step, on_epoch_end=save_intermediary)
+        if not np.isfinite(metrics.get("loss", 0.0)):
+            # NaN/inf guard (failure detection, SURVEY §5.3): a diverged train
+            # step must not poison best.pt via the gate — roll back to the
+            # pre-train snapshot and report the bad loss for the record
+            log.error("non-finite train loss %s: rolling back to temp.pt",
+                      metrics.get("loss"))
+            if os.path.exists(os.path.join(self.cfg.checkpoint_dir,
+                                           "temp.pt")):
+                ckpt = CKPT.load_network(self.cfg.checkpoint_dir, "temp.pt",
+                                         self.train_state.params)
+                self.train_state = self.train_state._replace(
+                    params=jax.tree_util.tree_map(jax.numpy.asarray,
+                                                  ckpt["params"]),
+                    batch_stats=jax.tree_util.tree_map(
+                        jax.numpy.asarray, ckpt["batch_stats"]))
         return metrics
 
     def gate(self, old_bundle) -> tuple[bool, tuple[int, int, int]]:
