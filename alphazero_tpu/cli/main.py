@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="forced_playouts")
     p.add_argument("--surprise-weight", "-W", action="store_true",
                    dest="surprise_weight")
+    p.add_argument("--no-tree-reuse", action="store_false", dest="tree_reuse",
+                   help="disable cross-move MCTS tree carryover in self-play")
     p.add_argument("--val-split", type=float, default=0.0, dest="val_split",
                    help="held-out validation fraction of the replay buffer "
                         "(reference GenericNNetWrapper.py:108-137)")
@@ -89,6 +91,7 @@ def args_to_config(args) -> CoachConfig:
         epochs=args.epochs,
         surprise_weight=args.surprise_weight,
         val_split=args.val_split,
+        tree_reuse=args.tree_reuse,
         nn_version=args.nn_version,
         history=args.numItersHistory,
         update_threshold=args.updateThreshold,

@@ -44,6 +44,7 @@ class CoachConfig:
     forced_playouts: bool = False
     dirichlet_alpha: float = 0.2
     prior_temp: float = 1.25
+    tree_reuse: bool = True              # cross-move tree carryover
     # training
     learn_rate: float = 3e-4
     vl_weight: float = 10.0
@@ -114,7 +115,8 @@ class Coach:
             ratio_full=cfg.ratio_full, prob_full=cfg.prob_full,
             temp_threshold=cfg.temp_threshold, cpuct=cfg.cpuct, fpu=cfg.fpu,
             forced_playouts=cfg.forced_playouts,
-            dirichlet_alpha=cfg.dirichlet_alpha, prior_temp=cfg.prior_temp)
+            dirichlet_alpha=cfg.dirichlet_alpha, prior_temp=cfg.prior_temp,
+            tree_reuse=cfg.tree_reuse)
         self.selfplay = SP.SelfPlayEngine(self.env_cfg, self.eval_fn, sp_cfg,
                                           mesh=self.mesh)
 
