@@ -97,6 +97,9 @@ class SelfPlayEngine:
         def _end_batch(states):
             return jax.vmap(lambda s: E.check_end_game(ecfg, s))(states)
 
+        def _judge_batch(states):
+            return jax.vmap(lambda s: E.judge(ecfg, s))(states)
+
         def _scores_batch(states):
             return jax.vmap(lambda s: E.all_scores(ecfg, s))(states)
 
@@ -114,6 +117,7 @@ class SelfPlayEngine:
         self.canonical = jax.jit(_canonical)
         self.step_batch = jax.jit(_step_batch)
         self.end_batch = jax.jit(_end_batch)
+        self.judge_batch = jax.jit(_judge_batch)
         self.scores_batch = jax.jit(_scores_batch)
         self.sample_actions = jax.jit(_sample_actions)
 
@@ -327,6 +331,20 @@ class SelfPlayEngine:
                         continue
                     idx = np.flatnonzero(mask)
                     counts = counts_t[t][idx]
+                    vm = valids_t[t][idx]
+                    # correctness backstop: a root visit count on an invalid
+                    # action means the search/tree-carry produced counts for
+                    # a state other than the stored one (observed rarely on
+                    # the TPU runtime with tree reuse) — drop that mass
+                    # rather than poison the policy targets
+                    bad = counts * ~vm
+                    if bad.any():
+                        import logging
+                        logging.getLogger(__name__).warning(
+                            "masking %d root visits on invalid actions "
+                            "across %d examples", int(bad.sum()),
+                            int((bad.sum(1) > 0).sum()))
+                        counts = counts * vm
                     pi = counts / np.maximum(counts.sum(1, keepdims=True), 1e-9)
                     collected.append((canon_t[t][idx], pi.astype(np.float16),
                                       valids_t[t][idx], q_t[t][idx],
@@ -339,7 +357,10 @@ class SelfPlayEngine:
         done_np = np.asarray(done)
         off = int(offset)
         if not done_np.all():
-            ends = np.roll(np.asarray(self.end_batch(states)), off, axis=1)
+            # settle by the unconditional judge: at a chunk-granularity cutoff
+            # the round count need not sit on a turn boundary (3-4P), where
+            # check_end_game would report "still running"
+            ends = np.roll(np.asarray(self.judge_batch(states)), off, axis=1)
             results_np[~done_np] = ends[~done_np]
 
         stats = {
