@@ -12,7 +12,8 @@ from . import env as E
 
 
 def net_config_for(cfg: E.SplendorConfig, dropout: float = 0.3,
-                   nn_version: int = 1, width: int = 128) -> N.NetConfig:
+                   nn_version: int = 1, width: int = 128,
+                   dtype: str = "float32") -> N.NetConfig:
     return N.NetConfig(
         nb_vect=cfg.rows,
         vect_dim=7,
@@ -22,6 +23,7 @@ def net_config_for(cfg: E.SplendorConfig, dropout: float = 0.3,
         dropout=dropout,
         nn_version=nn_version,
         width=width,
+        dtype=dtype,
     )
 
 

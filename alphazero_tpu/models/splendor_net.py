@@ -31,6 +31,11 @@ class NetConfig:
     dropout: float = 0.3
     nn_version: int = 1
     width: int = 128
+    # computation dtype for the trunk matmuls ("float32" | "bfloat16");
+    # params stay float32, heads/log-softmax always compute in float32.
+    # bfloat16 halves HBM traffic per forward on TPU — intended for the
+    # inference path (search leaf evals), not the train step.
+    dtype: str = "float32"
 
     @property
     def num_scdiffs(self) -> int:
@@ -49,6 +54,7 @@ class DenseAndPartialGPool(nn.Module):
     nb_items: int
     use_bn: bool
     bn_axis: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -58,10 +64,12 @@ class DenseAndPartialGPool(nn.Module):
         g = x[..., :pool_len].reshape(*x.shape[:-1], self.nb_groups, self.nb_items)
         maxp = g.max(-1)
         avgp = g.mean(-1)
-        d = nn.Dense(dense_out, kernel_init=nn.initializers.kaiming_uniform())(
+        d = nn.Dense(dense_out, dtype=self.dtype,
+                     kernel_init=nn.initializers.kaiming_uniform())(
             x[..., pool_len:])
         if self.use_bn:
-            d = nn.BatchNorm(use_running_average=not train, axis=self.bn_axis)(d)
+            d = nn.BatchNorm(use_running_average=not train, axis=self.bn_axis,
+                             dtype=self.dtype)(d)
         d = nn.relu(d)
         return jnp.concatenate([maxp, avgp, d], axis=-1)
 
@@ -96,29 +104,33 @@ class SplendorNet(nn.Module):
         Returns (log_pi (B,A), v (B,n), log_sdiff (B, num_scdiffs, 31))."""
         c = self.cfg
         w = c.width
+        dt = jnp.dtype(c.dtype)
         kinit = nn.initializers.kaiming_uniform()
         drop = lambda y: nn.Dropout(c.dropout, deterministic=not train)(y)  # noqa: E731
 
-        x = jnp.swapaxes(boards, -1, -2)            # (B, 7, nb_vect)
-        x = nn.Dense(w, kernel_init=kinit)(x)
-        x = nn.BatchNorm(use_running_average=not train, axis=1)(x)
+        x = jnp.swapaxes(boards, -1, -2).astype(dt)  # (B, 7, nb_vect)
+        x = nn.Dense(w, dtype=dt, kernel_init=kinit)(x)
+        x = nn.BatchNorm(use_running_average=not train, axis=1, dtype=dt)(x)
         x = nn.relu(x)
-        x = nn.relu(nn.Dense(w, kernel_init=kinit)(x))
+        x = nn.relu(nn.Dense(w, dtype=dt, kernel_init=kinit)(x))
 
-        x = drop(DenseAndPartialGPool(w, nb_groups=4, nb_items=8, use_bn=True)(x, train))
-        x = drop(nn.relu(nn.Dense(w, kernel_init=kinit)(x)))
+        x = drop(DenseAndPartialGPool(w, nb_groups=4, nb_items=8, use_bn=True,
+                                      dtype=dt)(x, train))
+        x = drop(nn.relu(nn.Dense(w, dtype=dt, kernel_init=kinit)(x)))
         x = FlattenAndPartialGPool(length_to_pool=w // 2, nb_channels_to_pool=5)(x)
 
-        x = drop(nn.relu(nn.Dense(w, kernel_init=kinit)(x)))
-        x = drop(DenseAndPartialGPool(w, nb_groups=4, nb_items=4, use_bn=True)(x, train))
-        y = nn.Dense(w, kernel_init=kinit)(x)
-        y = nn.BatchNorm(use_running_average=not train, axis=1)(y)
+        x = drop(nn.relu(nn.Dense(w, dtype=dt, kernel_init=kinit)(x)))
+        x = drop(DenseAndPartialGPool(w, nb_groups=4, nb_items=4, use_bn=True,
+                                      dtype=dt)(x, train))
+        y = nn.Dense(w, dtype=dt, kernel_init=kinit)(x)
+        y = nn.BatchNorm(use_running_average=not train, axis=1, dtype=dt)(y)
         x = nn.relu(y)
-        x = nn.relu(nn.Dense(w, kernel_init=kinit)(x))
+        x = nn.relu(nn.Dense(w, dtype=dt, kernel_init=kinit)(x))
         x = drop(x)
-        x = drop(DenseAndPartialGPool(w, nb_groups=4, nb_items=4, use_bn=True)(x, train))
+        x = drop(DenseAndPartialGPool(w, nb_groups=4, nb_items=4, use_bn=True,
+                                      dtype=dt)(x, train))
 
-        x = x[:, 0, :]                               # (B, w)
+        x = x[:, 0, :].astype(jnp.float32)           # (B, w); f32 heads
         pi_h = nn.Dense(w, kernel_init=kinit)(x)     # Dense_6
         pi = nn.Dense(c.action_size, kernel_init=kinit)(pi_h)   # Dense_7
         v_h = nn.Dense(w, kernel_init=kinit)(x)      # Dense_8
@@ -148,27 +160,29 @@ class SplendorNetV2(nn.Module):
     def __call__(self, boards, valid_actions, train: bool = False):
         c = self.cfg
         w = max(c.width, 256)
+        dt = jnp.dtype(c.dtype)
         kinit = nn.initializers.kaiming_uniform()
         drop = lambda y: nn.Dropout(c.dropout, deterministic=not train)(y)  # noqa: E731
 
-        x = jnp.swapaxes(boards, -1, -2)            # (B, 7, nb_vect)
-        x = nn.Dense(w, kernel_init=kinit)(x)
-        x = nn.BatchNorm(use_running_average=not train, axis=1)(x)
+        x = jnp.swapaxes(boards, -1, -2).astype(dt)  # (B, 7, nb_vect)
+        x = nn.Dense(w, dtype=dt, kernel_init=kinit)(x)
+        x = nn.BatchNorm(use_running_average=not train, axis=1, dtype=dt)(x)
         x = nn.relu(x)
-        x = nn.relu(nn.Dense(w, kernel_init=kinit)(x))
+        x = nn.relu(nn.Dense(w, dtype=dt, kernel_init=kinit)(x))
         x = drop(DenseAndPartialGPool(w, nb_groups=4, nb_items=8,
-                                      use_bn=True)(x, train))
+                                      use_bn=True, dtype=dt)(x, train))
         x = FlattenAndPartialGPool(length_to_pool=w // 2,
                                    nb_channels_to_pool=5)(x)
         x = x[:, 0, :]
-        x = nn.relu(nn.Dense(w, kernel_init=kinit)(x))
+        x = nn.relu(nn.Dense(w, dtype=dt, kernel_init=kinit)(x))
         for _ in range(2):                          # residual MLP blocks
-            h = nn.BatchNorm(use_running_average=not train)(x)
+            h = nn.BatchNorm(use_running_average=not train, dtype=dt)(x)
             h = nn.relu(h)
-            h = nn.Dense(w, kernel_init=kinit)(h)
+            h = nn.Dense(w, dtype=dt, kernel_init=kinit)(h)
             h = nn.relu(h)
-            h = drop(nn.Dense(w, kernel_init=kinit)(h))
+            h = drop(nn.Dense(w, dtype=dt, kernel_init=kinit)(h))
             x = x + h
+        x = x.astype(jnp.float32)                    # f32 heads
 
         pi_h = nn.Dense(w, kernel_init=kinit)(x)
         pi = nn.Dense(c.action_size, kernel_init=kinit)(pi_h)

@@ -27,7 +27,8 @@ def main():
     from alphazero_tpu.search import mcts as M
 
     env_cfg = E.SplendorConfig(num_players=2)
-    net_cfg = A.net_config_for(env_cfg)
+    net_cfg = A.net_config_for(
+        env_cfg, dtype=os.environ.get("BENCH_DTYPE", "float32"))
     params, batch_stats = N.init_params(net_cfg, jax.random.PRNGKey(0))
     bundle = (params, batch_stats)
 

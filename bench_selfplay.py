@@ -32,7 +32,8 @@ def main():
     from alphazero_tpu.train import selfplay as SP
 
     env_cfg = E.SplendorConfig(num_players=2)
-    net_cfg = A.net_config_for(env_cfg)
+    net_cfg = A.net_config_for(
+        env_cfg, dtype=os.environ.get("BENCH_DTYPE", "float32"))
     params, bs = N.init_params(net_cfg, jax.random.PRNGKey(0))
     bundle = (params, bs)
 
