@@ -187,7 +187,9 @@ class Coach:
         self.train_state, metrics = TR.fit(
             self.train_state, self.train_step, self.replay, self.train_cfg,
             self.np_rng, k, surprise_weight=self.cfg.surprise_weight,
-            eval_step_fn=self.eval_step, on_epoch_end=save_intermediary)
+            eval_step_fn=self.eval_step, on_epoch_end=save_intermediary,
+            log_every=500)   # live loss meter (reference tqdm postfix,
+                             # GenericNNetWrapper.py:63,99)
         if not np.isfinite(metrics.get("loss", 0.0)):
             # NaN/inf guard (failure detection, SURVEY §5.3): a diverged train
             # step must not poison best.pt via the gate — roll back to the

@@ -202,6 +202,12 @@ class SelfPlayEngine:
                     u_b = jax.random.uniform(k_part, (B,))
                     perm = jnp.argsort(u_b + done.astype(jnp.float32))
                     idx_full, idx_fast = perm[:B_full], perm[B_full:]
+                    # merge the two halves back in board order with ONE
+                    # inverse-permutation gather (no scatters)
+                    inv = jnp.zeros((B,), jnp.int32).at[perm].set(
+                        jnp.arange(B, dtype=jnp.int32))
+                    merge = lambda a_, b_: jnp.take(  # noqa: E731
+                        jnp.concatenate([a_, b_], 0), inv, 0)
                     if cfg.tree_reuse:
                         tf = jax.tree_util.tree_map(
                             lambda x: jnp.take(x, idx_full, 0), tree)
@@ -211,25 +217,18 @@ class SelfPlayEngine:
                             bundle, tf, jnp.take(nn_t, idx_full, 0), ks)
                         res_s, ts, nns = rs_fast.run(
                             bundle, ts, jnp.take(nn_t, idx_fast, 0), ks2)
-                        tree = jax.tree_util.tree_map(
-                            lambda o, a_, b_: o.at[idx_full].set(a_)
-                                               .at[idx_fast].set(b_),
-                            tree, tf, ts)
-                        nn_t = nn_t.at[idx_full].set(nf).at[idx_fast].set(nns)
+                        tree = jax.tree_util.tree_map(merge, tf, ts)
+                        nn_t = merge(nf, nns)
                     else:
                         res_f = search_full_fn(
                             bundle, jnp.take(states, idx_full, 0), ks)
                         res_s = search_fast_fn(
                             bundle, jnp.take(states, idx_fast, 0), ks2)
-                    A_ = res_f.counts.shape[1]
-                    counts = jnp.zeros((B, A_), res_f.counts.dtype)\
-                        .at[idx_full].set(res_f.counts)\
-                        .at[idx_fast].set(res_s.counts)
-                    q = jnp.zeros((B, n), res_f.q.dtype)\
-                        .at[idx_full].set(res_f.q)\
-                        .at[idx_fast].set(res_s.q)
-                    is_full_b = jnp.zeros((B,), jnp.bool_)\
-                        .at[idx_full].set(True)
+                    counts = merge(res_f.counts, res_s.counts)
+                    q = merge(res_f.q, res_s.q)
+                    is_full_b = merge(
+                        jnp.ones((B_full,), jnp.bool_),
+                        jnp.zeros((B - B_full,), jnp.bool_))
                 temp = jnp.where(move < cfg.temp_threshold,
                                  cfg.temp_early, cfg.temp_late)
                 actions = _sample_actions(counts, temp, ka)

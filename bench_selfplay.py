@@ -25,6 +25,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     sims = int(os.environ.get("BENCH_SIMS", "128"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
+    reuse = os.environ.get("BENCH_REUSE", "0") == "1"
 
     from alphazero_tpu.games.splendor import adapter as A
     from alphazero_tpu.games.splendor import env as E
@@ -39,7 +40,7 @@ def main():
 
     cfg = SP.SelfPlayConfig(batch_size=batch, num_sims=sims, ratio_full=4,
                             prob_full=0.25, temp_threshold=10,
-                            forced_playouts=True)
+                            forced_playouts=True, tree_reuse=reuse)
     eng = SP.SelfPlayEngine(env_cfg, A.make_eval_fn(net_cfg), cfg)
     rng = np.random.default_rng(0)
 
@@ -72,6 +73,7 @@ def main():
         "examples_per_s": round(totals["examples"] / dt, 1),
         "batch": batch,
         "num_sims": sims,
+        "tree_reuse": reuse,
         "model_flops_per_s": round(model_flops_per_s),
     }
     print(json.dumps(out))
