@@ -47,8 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="forced_playouts")
     p.add_argument("--surprise-weight", "-W", action="store_true",
                    dest="surprise_weight")
-    p.add_argument("--no-tree-reuse", action="store_false", dest="tree_reuse",
-                   help="disable cross-move MCTS tree carryover in self-play")
+    p.add_argument("--tree-reuse", action=argparse.BooleanOptionalAction,
+                   dest="tree_reuse", default=False,
+                   help="cross-move MCTS tree carryover in self-play "
+                        "(default off; see docs/PERF.md)")
     p.add_argument("--val-split", type=float, default=0.0, dest="val_split",
                    help="held-out validation fraction of the replay buffer "
                         "(reference GenericNNetWrapper.py:108-137)")

@@ -504,6 +504,12 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
                 jnp.sqrt(cfg.k_forced * root_prior * S)).astype(jnp.int32)
             adj = jnp.where(counts == best, counts, pruned)
             out_counts = jnp.where(adj > 1, adj, 0).astype(jnp.float32)
+            # low-sim edge case: if pruning zeroed every edge (all raw
+            # counts <= 1), fall back to the raw distribution rather than
+            # emit an all-zero policy target
+            total = out_counts.sum(-1, keepdims=True)
+            out_counts = jnp.where(total > 0, out_counts,
+                                   counts.astype(jnp.float32))
 
         result = SearchResult(counts=out_counts, raw_counts=counts, q=q,
                               root_value=v0, root_prior=root_prior)

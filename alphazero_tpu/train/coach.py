@@ -44,7 +44,8 @@ class CoachConfig:
     forced_playouts: bool = False
     dirichlet_alpha: float = 0.2
     prior_temp: float = 1.25
-    tree_reuse: bool = True              # cross-move tree carryover
+    tree_reuse: bool = False             # cross-move tree carryover (see
+                                         # docs/PERF.md before enabling on TPU)
     # training
     learn_rate: float = 3e-4
     vl_weight: float = 10.0

@@ -46,8 +46,11 @@ class SelfPlayConfig:
     chunk_moves: int = 16          # moves fused into one jitted scan call
     # carry each board's search tree across moves, re-rooted on the played
     # action (reference MCTS.py:27-36 keeps its tree within a game); reuse
-    # only validates when the real chance draw matched the in-tree collapse
-    tree_reuse: bool = True
+    # only validates when the real chance draw matched the in-tree collapse.
+    # Default OFF: measured ~9x cost per rollout on TPU for <=4x
+    # strength-per-sim, plus an open TPU-runtime corruption hazard at some
+    # shapes — see docs/PERF.md "tree reuse costs and hazards"
+    tree_reuse: bool = False
     # descent/path-buffer depth cap: with reused trees the worst-case path
     # equals the tree capacity (2x sims), which would double the backup
     # einsum's level axis; real Splendor searches stay far shallower, so cap

@@ -119,3 +119,26 @@ def test_reroot_invalidates_on_state_mismatch(setup):
     # a fresh search from the voided tree behaves like a cold search
     res2, _, _ = jax.jit(rs.run)(None, tree2, n2, jax.random.PRNGKey(2))
     np.testing.assert_array_equal(np.asarray(res2.raw_counts).sum(1), 40)
+
+
+def test_selfplay_engine_with_reuse_produces_clean_targets():
+    """Engine-level reuse path (tree carried through the fused chunk,
+    full/fast partition, reroot between moves): games complete and every
+    stored policy target sits on valid actions of its stored state."""
+    from alphazero_tpu.train import selfplay as SP
+
+    env_cfg = E.SplendorConfig(num_players=2)
+    net_cfg = A.net_config_for(env_cfg, width=64)
+    from alphazero_tpu.models import splendor_net as N
+    params, bs = N.init_params(net_cfg, jax.random.PRNGKey(0))
+    cfg = SP.SelfPlayConfig(batch_size=8, num_sims=16, ratio_full=4,
+                            prob_full=0.5, temp_threshold=6,
+                            forced_playouts=True, tree_reuse=True)
+    eng = SP.SelfPlayEngine(env_cfg, A.make_eval_fn(net_cfg), cfg)
+    it, stats = eng.run_games((params, bs), jax.random.PRNGKey(1),
+                              np.random.default_rng(0))
+    assert stats["games"] == 8 and stats["examples"] > 100
+    pi = np.asarray(it.pi, np.float32)
+    valids = np.asarray(it.valids)
+    assert float((pi * ~valids).sum()) < 1e-4
+    assert np.allclose(pi.sum(1), 1.0, atol=1e-2)
