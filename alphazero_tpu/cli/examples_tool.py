@@ -39,31 +39,35 @@ def build_parser():
 def binarize(it: Iteration) -> Iteration:
     pi = np.asarray(it.pi)
     one_hot = np.zeros_like(pi)
-    one_hot[np.arange(len(pi)), pi.argmax(axis=1)] = 1
+    rows = pi.sum(axis=1) > 0           # an all-zero target has no argmax;
+    one_hot[rows, pi[rows].argmax(axis=1)] = 1   # keep it empty, don't
     return Iteration(it.boards, one_hot.astype(pi.dtype), it.winner,
-                     it.scdiff, it.valids, it.surprise)
+                     it.scdiff, it.valids, it.surprise)  # one-hot action 0
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
     merged = ReplayBuffer(history=10 ** 9)
+    testing = ReplayBuffer(history=10 ** 9)
     for filename in args.input:
         buf = ReplayBuffer.load(filename, history=10 ** 9)
         sizes = [len(it) for it in buf.iterations]
         print(f"{filename}: iterations={sizes}, total={sum(sizes)}")
-        for it in buf.iterations:
+        its = list(buf.iterations)
+        if args.test_stride > 0 and its and not args.info:
+            # the LAST iteration of EACH input file becomes (strided) test
+            # data, excluded from training (reference Coach.py:226 per-file
+            # new_input[:-1] / new_input[-1:][::8] carve)
+            last = its.pop()
+            s = slice(None, None, args.test_stride)
+            testing.add_iteration(Iteration(
+                last.boards[s], last.pi[s], last.winner[s], last.scdiff[s],
+                last.valids[s], last.surprise[s]))
+        for it in its:
             merged.add_iteration(it)
     if args.info:
         return 0
-
-    testing = ReplayBuffer(history=10 ** 9)
-    if args.test_stride > 0 and merged.iterations:
-        last = merged.iterations.pop()
-        s = slice(None, None, args.test_stride)
-        testing.add_iteration(Iteration(
-            last.boards[s], last.pi[s], last.winner[s], last.scdiff[s],
-            last.valids[s], last.surprise[s]))
 
     if args.binarize:
         print("binarizing policies...")

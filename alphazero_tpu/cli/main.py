@@ -58,9 +58,22 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="eval_baselines",
                    help="games vs random AND greedy per iteration for the "
                         "learning curve (0 = off); logged to metrics.jsonl")
+    p.add_argument("--arenaCompare", type=int, default=0, dest="arena_compare",
+                   help="gate games per iteration (0 = reference-derived "
+                        "30/50, main.py:137); raise to de-noise the gate")
+    p.add_argument("--gate-sims", type=int, default=0, dest="gate_sims",
+                   help="MCTS sims for the gate search (0 = numMCTSSims)")
+    p.add_argument("--eval-sims", type=int, default=0, dest="eval_sims",
+                   help="MCTS sims for the baseline learning-curve probe "
+                        "(0 = gate sims)")
     p.add_argument("--checkpoint", "-C", default="./temp/")
     p.add_argument("--load-folder-file", "-L", default=None,
                    dest="load_folder_file")
+    p.add_argument("--load-fallback", action="store_true",
+                   help="allow resume to fall back to sibling checkpoints "
+                        "(temp/best/newest) when the requested file is "
+                        "missing or unreadable — used by the crash-restart "
+                        "supervisor")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", "-P", action="store_true",
                    help="run one profiled iteration with jax.profiler")
@@ -72,7 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def args_to_config(args) -> CoachConfig:
-    arena_games = 30 if args.numEps < 500 else 50     # reference main.py:137
+    arena_games = args.arena_compare or (
+        30 if args.numEps < 500 else 50)              # reference main.py:137
     return CoachConfig(
         num_players=args.numPlayers,
         num_iters=args.numIters,
@@ -98,6 +112,8 @@ def args_to_config(args) -> CoachConfig:
         history=args.numItersHistory,
         update_threshold=args.updateThreshold,
         arena_games=arena_games,
+        gate_num_sims=args.gate_sims,
+        eval_num_sims=args.eval_sims,
         eval_baseline_games=args.eval_baselines,
         checkpoint_dir=args.checkpoint,
         seed=args.seed,
@@ -115,7 +131,8 @@ def main(argv=None):
     if args.load_folder_file:
         import os
         coach.load_checkpoint(os.path.dirname(args.load_folder_file),
-                              os.path.basename(args.load_folder_file))
+                              os.path.basename(args.load_folder_file),
+                              fallback=args.load_fallback)
     if args.profile:
         from ..utils import profiling
         coach.cfg = CoachConfig(**{**vars(coach.cfg), "num_iters": 1,

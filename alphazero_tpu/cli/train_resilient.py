@@ -66,7 +66,10 @@ def main(argv=None):
         temp = os.path.join(ckpt, "temp.pt")
         if "-L" not in rest and "--load-folder-file" not in rest \
                 and os.path.exists(temp):
-            cmd += ["-L", temp]
+            # crash-restart resume: sibling fallback is wanted here (a temp.pt
+            # half-written at crash time should fall back to best.pt, not
+            # dead-loop the supervisor)
+            cmd += ["-L", temp, "--load-fallback"]
         print(f"[driver] attempt {attempt}: {remaining} iterations remain")
         rc = subprocess.call(cmd)
         if rc == 0 and completed_iters(ckpt) >= total:

@@ -65,6 +65,10 @@ class CoachConfig:
     # learning-curve evaluation: pit the current net vs random AND greedy
     # baselines every iteration (0 = off); results land in metrics.jsonl
     eval_baseline_games: int = 0
+    eval_num_sims: int = 0                # 0 -> gate sims (probe can be
+                                          # shallower than the gate search)
+    # minibatch updates fused per device dispatch (0 = unfused legacy loop)
+    train_chunk_steps: int = 64
     # shard self-play + training over all visible devices via a mesh with an
     # 'env' axis (no-op on one chip; extends to pods via jax.distributed)
     use_mesh: bool = True
@@ -110,6 +114,9 @@ class Coach:
         else:
             self.train_step = TR.make_train_step(self.env_cfg, self.net_cfg,
                                                  self.train_cfg)
+        self.train_chunk = (TR.make_train_chunk(
+            self.env_cfg, self.net_cfg, self.train_cfg, mesh=self.mesh)
+            if cfg.train_chunk_steps > 0 else None)
 
         sp_cfg = SP.SelfPlayConfig(
             batch_size=cfg.selfplay_batch, num_sims=cfg.num_sims,
@@ -189,6 +196,8 @@ class Coach:
             self.train_state, self.train_step, self.replay, self.train_cfg,
             self.np_rng, k, surprise_weight=self.cfg.surprise_weight,
             eval_step_fn=self.eval_step, on_epoch_end=save_intermediary,
+            train_chunk_fn=self.train_chunk,
+            chunk_steps=self.cfg.train_chunk_steps,
             log_every=500)   # live loss meter (reference tqdm postfix,
                              # GenericNNetWrapper.py:63,99)
         if not np.isfinite(metrics.get("loss", 0.0)):
@@ -206,6 +215,9 @@ class Coach:
                                                   ckpt["params"]),
                     batch_stats=jax.tree_util.tree_map(
                         jax.numpy.asarray, ckpt["batch_stats"]))
+                # the diverged Adam moments are themselves non-finite — a
+                # params-only rollback would blow up again on the next step
+                self.train_state = TR.reset_opt_state(self.train_state)
         return metrics
 
     def gate(self, old_bundle) -> tuple[bool, tuple[int, int, int]]:
@@ -236,7 +248,14 @@ class Coach:
             self._eval_arena = AR.BatchArena(self.env_cfg, half)
             self._greedy_agent = AR.make_greedy_agent(self.env_cfg)
             self._random_agent = AR.make_random_agent(self._eval_arena.valids)
-            self._eval_search = jax.jit(self.gate_search)
+            eval_sims = (cfg.eval_num_sims or cfg.gate_num_sims
+                         or cfg.num_sims)
+            eval_mcfg = M.MCTSConfig(num_sims=eval_sims, cpuct=cfg.cpuct,
+                                     fpu=cfg.fpu)
+            self._eval_search = jax.jit(M.build_search(
+                eval_mcfg, cfg.num_players, self.eval_fn,
+                A.make_search_step_fn(self.env_cfg),
+                A.make_valid_fn(self.env_cfg)))
         net = AR.make_search_agent(self._eval_search, self.bundle)
         out = {}
         for name, opp in (("random", self._random_agent),
@@ -282,6 +301,7 @@ class Coach:
             CKPT.save_checkpoint(cfg.checkpoint_dir, "temp.pt",
                                  params=self.train_state.params,
                                  batch_stats=self.train_state.batch_stats,
+                                 opt_state=self.train_state.opt_state,
                                  meta=dataclasses.asdict(cfg))
             metrics = self.train_iteration()
             log.info("Iter %d: train %s", it, metrics)
@@ -293,10 +313,12 @@ class Coach:
                 CKPT.save_checkpoint(cfg.checkpoint_dir, f"checkpoint_{it}.pt",
                                      params=self.train_state.params,
                                      batch_stats=self.train_state.batch_stats,
+                                     opt_state=self.train_state.opt_state,
                                      meta=dataclasses.asdict(cfg))
                 CKPT.save_checkpoint(cfg.checkpoint_dir, "best.pt",
                                      params=self.train_state.params,
                                      batch_stats=self.train_state.batch_stats,
+                                     opt_state=self.train_state.opt_state,
                                      meta=dataclasses.asdict(cfg))
             else:
                 log.info("Iter %d: new vs prev %d-%d (%d draws) REJECTED",
@@ -313,6 +335,11 @@ class Coach:
                 **{f"selfplay_{k}": v for k, v in sp_stats.items()},
                 **{f"train_{k}": v for k, v in metrics.items()},
                 "gate_new": nw, "gate_old": ow, "gate_draws": dr,
+                # decided-game winrate with its binomial stderr, so the
+                # accept/reject record carries its own confidence
+                "gate_winrate": nw / max(nw + ow, 1),
+                "gate_stderr": float(np.sqrt(
+                    max(nw * ow, 1)) / max(nw + ow, 1) ** 1.5),
                 "accepted": accept,
                 "replay_examples": len(self.replay),
             }
@@ -327,9 +354,13 @@ class Coach:
                 on_iteration(it, sp_stats, metrics, (nw, ow, dr), accept)
 
     # --------------------------------------------------------------- resume
-    def load_checkpoint(self, folder, filename, load_examples=True):
-        # strict -> partial-transfer -> sibling-checkpoint fallback chain
-        ckpt = CKPT.load_network(folder, filename, self.train_state.params)
+    def load_checkpoint(self, folder, filename, load_examples=True,
+                        fallback=False):
+        # strict -> partial-transfer chain; sibling-checkpoint fallback only
+        # when explicitly requested (a typoed resume path must fail loudly,
+        # not silently resume a different network)
+        ckpt = CKPT.load_network(folder, filename, self.train_state.params,
+                                 fallback=fallback)
         ex_path = os.path.join(folder, "checkpoint.examples")
         if load_examples and os.path.exists(ex_path):
             self.replay = ReplayBuffer.load(
@@ -341,6 +372,19 @@ class Coach:
             params=jax.tree_util.tree_map(jax.numpy.asarray, ckpt["params"]),
             batch_stats=jax.tree_util.tree_map(jax.numpy.asarray,
                                                ckpt["batch_stats"]))
+        if ckpt.get("opt_state") is not None and ckpt["load_mode"] == "strict":
+            # resume the Adam moments so a crash-restart does not silently
+            # reset the optimizer mid-run (reference keeps its optimizer
+            # in-process across train calls, GenericNNetWrapper.py:49)
+            try:
+                self.train_state = self.train_state._replace(
+                    opt_state=jax.tree_util.tree_map(
+                        jax.numpy.asarray, ckpt["opt_state"]))
+                log.info("restored optimizer state from checkpoint")
+            except Exception as e:                # structure changed: reinit
+                log.warning("optimizer state in checkpoint incompatible "
+                            "(%s); starting with fresh moments", e)
+                self.train_state = TR.reset_opt_state(self.train_state)
         diff = CKPT.compare_settings(folder, dataclasses.asdict(self.cfg))
         if diff:
             log.info("settings changed vs checkpoint: %s", diff)

@@ -36,6 +36,7 @@ class ReplayBuffer:
     history: int = 5
     max_per_iter: int = 400_000
     iterations: list = field(default_factory=list)
+    _flat_cache: dict = field(default_factory=dict, repr=False)
 
     def add_iteration(self, it: Iteration):
         if len(it) > self.max_per_iter:
@@ -45,12 +46,19 @@ class ReplayBuffer:
         self.iterations.append(it)
         while len(self.iterations) > self.history:
             self.iterations.pop(0)
+        self._flat_cache.clear()
 
     def __len__(self):
         return sum(len(it) for it in self.iterations)
 
     def _flat(self, name):
-        return np.concatenate([getattr(it, name) for it in self.iterations])
+        # cached: sample() is called hundreds of times between buffer
+        # mutations, and re-concatenating the whole history per call would
+        # memcpy the full buffer each time
+        if name not in self._flat_cache:
+            self._flat_cache[name] = np.concatenate(
+                [getattr(it, name) for it in self.iterations])
+        return self._flat_cache[name]
 
     def sample(self, batch_size: int, rng: np.random.Generator,
                surprise_weight: bool = False, allowed: np.ndarray = None):
@@ -73,6 +81,13 @@ class ReplayBuffer:
         else:
             pool = n if allowed is None else len(allowed)
             ids = native.sample_uniform(pool, batch_size, seed)
+        if len(ids) < batch_size:
+            # pool smaller than the request (tiny buffers / fused K*B draws):
+            # top up with replacement so callers always get exactly
+            # ``batch_size`` rows
+            pool = n if allowed is None else len(allowed)
+            extra = rng.integers(0, pool, batch_size - len(ids))
+            ids = np.concatenate([ids, extra])
         if allowed is not None:
             ids = allowed[ids]
         return self.gather(ids)

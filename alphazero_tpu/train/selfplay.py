@@ -347,9 +347,19 @@ class SelfPlayEngine:
                             "across %d examples", int(bad.sum()),
                             int((bad.sum(1) > 0).sum()))
                         counts = counts * vm
+                        # a row whose EVERY visited action was invalid has no
+                        # usable policy target, and its board/value came from
+                        # the same corrupted search — drop it entirely
+                        keep = counts.sum(1) > 0
+                        if not keep.all():
+                            idx = idx[keep]
+                            counts = counts[keep]
+                            vm = vm[keep]
+                            if len(idx) == 0:
+                                continue
                     pi = counts / np.maximum(counts.sum(1, keepdims=True), 1e-9)
                     collected.append((canon_t[t][idx], pi.astype(np.float16),
-                                      valids_t[t][idx], q_t[t][idx],
+                                      vm, q_t[t][idx],
                                       int(player_t[t]), idx))
             if bool(np.asarray(done).all()):
                 break

@@ -48,7 +48,15 @@ def init_train_state(net_cfg: N.NetConfig, key) -> TrainState:
     return TrainState(params, batch_stats, tx.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_train_step(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
+def reset_opt_state(state: TrainState) -> TrainState:
+    """Fresh Adam moments for the current params.  Used by the NaN-rollback
+    guard: after a non-finite loss the moments themselves are non-finite, so
+    restoring params alone would diverge again on the next step."""
+    tx = optax.scale_by_adam()
+    return state._replace(opt_state=tx.init(state.params))
+
+
+def _make_step_body(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
                     cfg: TrainConfig):
     tx = optax.scale_by_adam()
     sym_fn = SYM.batched_random_symmetry(env_cfg) if cfg.augment else None
@@ -80,7 +88,45 @@ def make_train_step(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
             lambda p, u: p - lr * u, state.params, updates)
         return TrainState(new_params, new_bs, new_opt, state.step + 1), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
+                    cfg: TrainConfig):
+    return jax.jit(_make_step_body(env_cfg, net_cfg, cfg), donate_argnums=(0,))
+
+
+def make_train_chunk(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
+                     cfg: TrainConfig, mesh=None, axis: str = "env"):
+    """K minibatch updates fused into ONE jit via lax.scan.
+
+    Each dispatch over the device tunnel costs ~25 ms; the reference's loop of
+    per-minibatch torch steps (GenericNNetWrapper.py:66-99) maps poorly to
+    that, so the TPU path stacks K sampled minibatches to (K, B, ...) host-side
+    and scans the update body on device.  With a mesh, the batch axis (axis 1)
+    shards over 'env' and GSPMD psums the grads exactly as the single-step
+    path does.  Returns ``chunk(state, batches, lrs, key) -> (state, metrics)``
+    with metrics averaged over the K steps."""
+    body = _make_step_body(env_cfg, net_cfg, cfg)
+
+    def chunk(state: TrainState, batches, lrs, key):
+        keys = jax.random.split(key, lrs.shape[0])
+
+        def scan_body(st, x):
+            b, lr, k = x
+            return body(st, b, lr, k)
+
+        state, ms = jax.lax.scan(scan_body, state, (batches, lrs, keys))
+        return state, jax.tree_util.tree_map(lambda x: jnp.mean(x), ms)
+
+    if mesh is None:
+        return jax.jit(chunk, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, axis))
+    batch_sh = {k: data for k in ("boards", "pi", "winner", "scdiff", "valids")}
+    return jax.jit(chunk, in_shardings=(repl, batch_sh, repl, repl),
+                   donate_argnums=(0,))
 
 
 def make_eval_step(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
@@ -126,7 +172,8 @@ def onecycle_lr(step: int, total_steps: int, peak: float,
 
 def fit(train_state: TrainState, train_step_fn, replay, cfg: TrainConfig,
         rng: np.random.Generator, key, surprise_weight: bool = False,
-        log_every: int = 0, eval_step_fn=None, on_epoch_end=None):
+        log_every: int = 0, eval_step_fn=None, on_epoch_end=None,
+        train_chunk_fn=None, chunk_steps: int = 64):
     """Run epochs x batches over the replay buffer (reference
     GenericNNetWrapper.train).  Returns (train_state, last metrics).
 
@@ -147,24 +194,53 @@ def fit(train_state: TrainState, train_step_fn, replay, cfg: TrainConfig,
                      for k, v in replay.gather(np.sort(val_ids)).items()}
     pool = n if allowed is None else len(allowed)
     batch_count = max(pool // cfg.batch_size, 1)
+    if train_chunk_fn is not None:
+        # fused path: round each epoch to whole chunks so every dispatch has
+        # a static (chunk_steps, batch_size, ...) shape — one compilation
+        # regardless of how the replay pool grows between iterations
+        chunks_per_epoch = max(int(round(batch_count / chunk_steps)), 1)
+        batch_count = chunks_per_epoch * chunk_steps
     total = cfg.epochs * batch_count
     metrics = {}
     step_i = 0
     for epoch in range(cfg.epochs):
-        for _ in range(batch_count):
-            batch_np = replay.sample(cfg.batch_size, rng,
-                                     surprise_weight=surprise_weight,
-                                     allowed=allowed)
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-            lr = onecycle_lr(step_i, total, cfg.learn_rate)
-            key, sub = jax.random.split(key)
-            train_state, metrics = train_step_fn(train_state, batch,
-                                                 jnp.float32(lr), sub)
-            step_i += 1
-            if log_every and step_i % log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                print(f"  train step {step_i}/{total} "
-                      f"loss={m['loss']:.4f} pi={m['pi']:.4f} v={m['v']:.4f}")
+        if train_chunk_fn is not None:
+            for _ in range(chunks_per_epoch):
+                batch_np = replay.sample(cfg.batch_size * chunk_steps, rng,
+                                         surprise_weight=surprise_weight,
+                                         allowed=allowed)
+                batches = {
+                    k: jnp.asarray(v.reshape((chunk_steps, cfg.batch_size)
+                                             + v.shape[1:]))
+                    for k, v in batch_np.items()}
+                lrs = jnp.asarray(
+                    [onecycle_lr(step_i + j, total, cfg.learn_rate)
+                     for j in range(chunk_steps)], jnp.float32)
+                key, sub = jax.random.split(key)
+                train_state, metrics = train_chunk_fn(train_state, batches,
+                                                      lrs, sub)
+                step_i += chunk_steps
+                if log_every and step_i % log_every < chunk_steps:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print(f"  train step {step_i}/{total} "
+                          f"loss={m['loss']:.4f} pi={m['pi']:.4f} "
+                          f"v={m['v']:.4f}")
+        else:
+            for _ in range(batch_count):
+                batch_np = replay.sample(cfg.batch_size, rng,
+                                         surprise_weight=surprise_weight,
+                                         allowed=allowed)
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+                lr = onecycle_lr(step_i, total, cfg.learn_rate)
+                key, sub = jax.random.split(key)
+                train_state, metrics = train_step_fn(train_state, batch,
+                                                     jnp.float32(lr), sub)
+                step_i += 1
+                if log_every and step_i % log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print(f"  train step {step_i}/{total} "
+                          f"loss={m['loss']:.4f} pi={m['pi']:.4f} "
+                          f"v={m['v']:.4f}")
         metrics = {k: float(v) for k, v in metrics.items()}
         if val_batch is not None:
             vm = eval_step_fn(train_state, val_batch)

@@ -54,12 +54,15 @@ def _shapes_match(loaded_params, target_params) -> bool:
         return False
 
 
-def load_network(folder: str, filename: str, target_params=None) -> dict:
+def load_network(folder: str, filename: str, target_params=None,
+                 fallback: bool = True) -> dict:
     """Robust checkpoint load chain (reference load_network,
     GenericNNetWrapper.py:215-260): strict load when every leaf shape matches
-    the target -> shape-sliced partial transfer across architectures ->
-    fall back to sibling checkpoints (temp.pt / best.pt / newest
+    the target -> shape-sliced partial transfer across architectures -> with
+    ``fallback``, sibling checkpoints (temp.pt / best.pt / newest
     checkpoint_N.pt) when the requested file is missing or unreadable.
+    Pass ``fallback=False`` for user-requested resumes, where silently
+    loading a different network would hide a typoed path.
 
     Returns the checkpoint dict with ``params`` already reconciled against
     ``target_params`` (when given) and a ``load_mode`` key in
@@ -68,17 +71,18 @@ def load_network(folder: str, filename: str, target_params=None) -> dict:
     log = logging.getLogger(__name__)
 
     candidates = [filename]
-    for alt in ("temp.pt", "best.pt"):
-        if alt != filename:
-            candidates.append(alt)
-    try:
-        iters = sorted(
-            (f for f in os.listdir(folder)
-             if f.startswith("checkpoint_") and f.endswith(".pt")),
-            key=lambda f: -int("".join(filter(str.isdigit, f)) or 0))
-        candidates.extend(f for f in iters if f not in candidates)
-    except OSError:
-        pass
+    if fallback:
+        for alt in ("temp.pt", "best.pt"):
+            if alt != filename:
+                candidates.append(alt)
+        try:
+            iters = sorted(
+                (f for f in os.listdir(folder)
+                 if f.startswith("checkpoint_") and f.endswith(".pt")),
+                key=lambda f: -int("".join(filter(str.isdigit, f)) or 0))
+            candidates.extend(f for f in iters if f not in candidates)
+        except OSError:
+            pass
 
     last_err = None
     for cand in candidates:

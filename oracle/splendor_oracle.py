@@ -254,7 +254,10 @@ class OracleBoard:
             self.state[self.R_PGEMS + p, :5] -= give
             self.state[0, :5] += give
         # KIND_NOBLE / KIND_PASS: no-op
-        self.state[0, 6] += np.int8(1)
+        # explicit mod-256 wrap of the int8 round counter (mirrors the env's
+        # int8 overflow semantics without tripping numpy's overflow warning)
+        self.state[0, 6] = np.uint8((int(self.state[0, 6]) + 1) % 256).astype(
+            np.int8)
         return (p + 1) % self.n
 
     # ------------------------------------------------------------- terminal

@@ -45,9 +45,12 @@ def test_examples_tool_merge_binarize_split(tmp_path, capsys):
                               history=99)
     test = ReplayBuffer.load(str(tmp_path / "m_testing.examples"),
                              history=99)
-    # 4 iterations in, last one carved into the testing file with stride 4
-    assert len(train.iterations) == 3
-    assert len(test) == 24 // 4
+    # 2 iterations per file in; the LAST iteration of EACH file is carved
+    # (strided) into the testing file and excluded from training (reference
+    # Coach.py:226 per-file new_input[:-1] / new_input[-1:][::8])
+    assert len(train.iterations) == 2
+    assert len(test.iterations) == 2
+    assert len(test) == 2 * (24 // 4)
     # binarized: every policy row is a one-hot
     for buf in (train, test):
         for it in buf.iterations:
@@ -56,6 +59,28 @@ def test_examples_tool_merge_binarize_split(tmp_path, capsys):
             assert ((pi > 0).sum(1) == 1).all()
             # the hot entry is always a valid action
             assert it.valids[np.arange(len(pi)), pi.argmax(1)].all()
+
+
+def test_binarize_keeps_zero_policy_rows_empty():
+    """An all-zero pi row has no argmax; binarize must not invent a one-hot
+    on action 0 (which may be invalid) for it."""
+    env_cfg = E.SplendorConfig(num_players=2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    states = np.asarray(jax.vmap(
+        lambda k: E.initial_state(env_cfg, k))(keys)).astype(np.int8)
+    valids = np.asarray(jax.vmap(
+        lambda s: E.valid_moves(env_cfg, s, 0))(jax.numpy.asarray(states)))
+    pi = valids.astype(np.float16)
+    pi /= pi.sum(-1, keepdims=True)
+    pi[1] = 0                                     # poisoned row
+    it = Iteration(boards=states, pi=pi,
+                   winner=np.tile(np.array([1, -1], np.float16), (4, 1)),
+                   scdiff=np.zeros((4, 2), np.int8), valids=valids,
+                   surprise=np.ones((4, 2), np.float16))
+    out = examples_tool.binarize(it)
+    pi_out = np.asarray(out.pi, np.float32)
+    assert pi_out[1].sum() == 0
+    assert ((pi_out[[0, 2, 3]] > 0).sum(1) == 1).all()
 
 
 def test_train_offline_cli(tmp_path):

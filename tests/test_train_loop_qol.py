@@ -127,6 +127,20 @@ def test_load_network_fallback_chain(tmp_path):
         CKPT.load_network(str(tmp_path), "temp.pt", tgt)
 
 
+def test_load_network_strict_resume_refuses_substitutes(tmp_path):
+    """fallback=False (user-requested resume): a typoed filename must raise,
+    never silently load a sibling checkpoint."""
+    env_cfg = E.SplendorConfig(num_players=2)
+    net_cfg = A.net_config_for(env_cfg)
+    tgt, _ = N.init_params(net_cfg, jax.random.PRNGKey(0))
+    _save_net(tmp_path, net_cfg, "best.pt", seed=4)
+    with pytest.raises(FileNotFoundError):
+        CKPT.load_network(str(tmp_path), "typo.pt", tgt, fallback=False)
+    # the requested file itself still loads strictly
+    ckpt = CKPT.load_network(str(tmp_path), "best.pt", tgt, fallback=False)
+    assert ckpt["load_source"] == "best.pt"
+
+
 def test_judge_settles_nonterminal_states():
     """E.judge returns a winner vector even off a turn boundary / pre-terminal
     (the move-cap fallback both arenas rely on)."""
