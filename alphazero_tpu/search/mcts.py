@@ -31,27 +31,28 @@ Remaining structural divergence (documented): no transposition table
 (identical states become distinct nodes) — the standard array-MCTS trade.
 
 TPU memory/layout design (profile-driven; see docs/PERF.md history):
-- Per-node, per-action data lives in ONE unified array ``stats [B, M, 4, A]``
-  (lanes: prior-or-invalid, child-id, edge visits, edge value-sum) so tree
-  descent does a single contiguous ``take_along_axis`` row gather per level.
-  Dynamic row gathers on TPU are HBM-latency-bound (~60-90us for [B,1,*]
-  regardless of row width), so minimizing the NUMBER of gathers per level —
-  not bytes — is what matters.
-- Per-node scalars (N, value-sum, terminal flag, terminal value vector) live
-  in ``node_sc [B, M, 8]``; per-node parent ids (needed only by reroot) in
-  ``parent [B, M]``.
+- ALL per-node data lives in ONE packed array ``stats [B, M, 4, A+2]``:
+  action columns 0..A-1 carry the edge lanes (prior-or-invalid, child-id +
+  packed terminal flag, edge visits, edge value-sum) and columns A/A+1 the
+  node scalars (terminal flag, seat rotation, Ns, value sum, terminal value
+  vector).  Tree descent therefore does exactly ONE contiguous
+  ``take_along_axis`` row gather per level — dynamic row gathers on TPU are
+  HBM-latency-bound (~60-90us for [B,1,*] regardless of row width), so
+  minimizing the NUMBER of gathers per level, not bytes, is what matters
+  (the earlier 3-gather layout spent ~half the search in descent).
 - Backprop does NOT walk the tree a second time.  Selection records the
-  (parent, action) path into ``[B, PL]`` buffers; afterwards the whole backup
-  — edge N/W increments, child-pointer install, the expanded node's prior
-  row, and the node scalars — is expressed as dense one-hot matmul deltas
-  fused into single whole-array adds (see ``_backprop_fused``).  TPU scatter
-  costs ~23ns per update element (effectively serial) and ANY dynamic-index
-  write to the 436MB stats array (scatter, lane-sliced ``.at[].add``, or
-  dynamic-update-slice) rewrites the whole buffer, so the only mutations are
-  elementwise passes XLA can fuse; measured history in docs/PERF.md.
-- Small arrays (states, node_sc, parent) are written at the per-board
-  ``slot`` index with a one-hot masked ``where`` — their full-buffer rewrite
-  is a few MB and cheap.
+  (parent, action, rotation) path into ``[B, PL]`` buffers; afterwards the
+  whole backup — edge N/W increments, node Ns/value-sum increments (via a
+  two-hot action row), child-pointer install, and the expanded node's full
+  row — is expressed as dense one-hot matmul deltas fused into a single
+  whole-array add (see ``_backprop_fused``).  TPU scatter costs ~23ns per
+  update element (effectively serial) and ANY dynamic-index write to the
+  ~437MB stats array (scatter, lane-sliced ``.at[].add``, or
+  dynamic-update-slice) rewrites the whole buffer, so the only mutations
+  are elementwise passes XLA can fuse; measured history in docs/PERF.md.
+- Small arrays (states, parent) are written at the per-board ``slot`` index
+  with a one-hot masked ``where`` — their full-buffer rewrite is a few MB
+  and cheap.
 - ``reroot`` runs ONCE per move (vs per sim): reachability from the played
   child via parent-pointer doubling (log2(M) gathers), a stable int-key
   argsort ranking (played child first, then kept nodes by visit count — so
@@ -69,22 +70,27 @@ import jax.numpy as jnp
 
 EPS = 1e-8
 
-# stats lane indices
+# stats lane indices.  Layout is PACKED: one [B, M, 4, A+2] array holds both
+# the per-(node,action) edge data (columns 0..A-1) and the per-node scalars
+# (columns A, A+1), so tree descent costs exactly ONE dynamic row gather per
+# level (gathers are HBM-latency-bound, ~60-90us each regardless of width —
+# docs/PERF.md; the previous 3-array layout paid three).
 _PVALID = 0   # prior probability where valid, -1.0 where invalid
-_CHILD = 1    # child node id as f32; 0 = unexpanded (root can never be a child)
+_CHILD = 1    # child node id as f32 + 0.5 if that child is TERMINAL (integer
+              # part = id, fraction = flag — saves the child-row lookup during
+              # descent); 0 = unexpanded (the root can never be a child)
 _EN = 2       # edge visit count N(s,a)
 _EW = 3       # edge value sum W(s,a) (node-frame v[0] backups)
 
-# node_sc lane indices (padded to 8 lanes for tiling; supports P <= 4)
-_NN = 0       # node visit count Ns
-_NV = 1       # node value sum (Qs numerator; leaf eval + backups)
-_NT = 2       # 1.0 if terminal
-_NC = 3       # cumulative seat rotation mod P from the root (0 at the root).
-              # Normally each edge advances one seat, but a pending
-              # noble-select ply (env enable_noble_select) keeps the mover's
-              # turn, so the rotation is tracked per node instead of being
-              # inferred from tree depth.
-_NTV = 4      # terminal value vector, lanes 4..4+P
+# node-scalar columns (appended after the A action columns):
+# col A:   lane _PVALID -> 1.0 if this node is terminal
+#          lane _CHILD  -> cumulative seat rotation mod P from the root
+#                          (0 at the root; normally each edge advances one
+#                          seat, but a pending noble-select ply keeps the
+#                          mover's turn, so rotation is tracked per node)
+#          lane _EN     -> node visit count Ns
+#          lane _EW     -> node value sum (Qs numerator; leaf eval + backups)
+# col A+1: lanes 0..P-1 -> terminal value vector
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,19 +111,29 @@ class MCTSConfig:
     # reached at the cap as the leaf (its NN value is re-backed-up, no
     # expansion) — the same bounded-depth policy as mctx's max_depth.
     max_depth: int = 0
-    # Use the Pallas fused-backup kernel (ops/fused_backup.py) for the edge
-    # update instead of the XLA einsum.  Both are MXU-padding-bound on this
-    # shape; measured on v5e the einsum is slightly faster (1.8ms vs 2.1ms
-    # per sim at B=1024 S=64), so this stays off by default — see docs/PERF.md.
+    # Historical flag for the Pallas fused-backup kernel
+    # (ops/fused_backup.py).  The kernel targets the pre-packed split
+    # stats/node_sc layout and measured slower than the XLA einsum on v5e
+    # (2.1ms vs 1.8ms per sim at B=1024 S=64, docs/PERF.md), so with the
+    # packed layout it is no longer wired in; enabling raises, the op and
+    # its tests remain as the Pallas reference.
     pallas_backup: bool = False
+    # Storage dtype for the packed stats array ("float32" | "bfloat16").
+    # The backup is HBM-bandwidth-bound in the stats buffer (read + delta +
+    # write per sim), so bfloat16 halves its traffic — but measured on the
+    # target chip the f32->bf16 converts in the descent loop cost more than
+    # the saved bandwidth (docs/PERF.md), and exactness caps the tree at 128
+    # nodes (integer counts + the packed id+0.5 terminal flag), so float32
+    # stays the default.  Q-precision parity: tests/test_mcts_bf16.py.
+    stats_dtype: str = "float32"
 
 
 class Tree(NamedTuple):
     """All arrays carry a leading batch axis [B]; M = capacity =
     num_sims + keep_cap + 1 nodes."""
     states: jnp.ndarray      # [B, M, R, 7] int8, canonical (player-0 to move)
-    stats: jnp.ndarray       # [B, M, 4, A] f32 — lanes per module header
-    node_sc: jnp.ndarray     # [B, M, 8] f32 — lanes per module header
+    stats: jnp.ndarray       # [B, M, 4, A+2] — packed edge + node data,
+                             # lanes/columns per module header
     parent: jnp.ndarray      # [B, M] i32 — parent node id (0 for the root)
 
 
@@ -220,7 +236,7 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
     Returns (parent [B], action [B], existing [B] — 0 if the chosen edge is
     unexpanded, depth [B] — number of edges on the path, parent_rot [B] —
     the stopping node's seat rotation, path_p, path_a, path_r).  Each path
-    node's rotation (lane ``_NC``) is recorded during the descent itself, so
+    node's rotation (node column of lane ``_CHILD``) is recorded during the descent itself, so
     backprop never re-gathers node rows.  ``depth_cap`` (== the path-buffer
     width) bounds the descent; the node reached at the cap is treated as the
     leaf."""
@@ -233,24 +249,25 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
     def body(c):
         (node, parent, action, stop, depth, level, path_p, path_a, path_r,
          existing, prot) = c
-        row = _row(tree.stats, node)                       # [B, 4, A]
-        nsc = _row(tree.node_sc, node)                     # [B, 8]
-        pv = row[:, _PVALID]
+        row = _row(tree.stats, node)                       # [B, 4, A+2]
+        A = row.shape[-1] - 2
+        pv = row[:, _PVALID, :A].astype(jnp.float32)
         valid_r = pv >= 0.0
         prior_r = jnp.maximum(pv, 0.0)
-        en_r = row[:, _EN]
-        ew_r = row[:, _EW]
-        nn_ = nsc[:, _NN]
-        rot = nsc[:, _NC].astype(jnp.int32)
-        qs = nsc[:, _NV] / (nn_ + 1.0)
+        en_r = row[:, _EN, :A].astype(jnp.float32)
+        ew_r = row[:, _EW, :A].astype(jnp.float32)
+        nn_ = row[:, _EN, A].astype(jnp.float32)
+        rot = row[:, _CHILD, A].astype(jnp.int32)
+        qs = row[:, _EW, A].astype(jnp.float32) / (nn_ + 1.0)
         a = _ucb_pick_rows(cfg, prior_r, valid_r, en_r, ew_r, nn_, qs,
                            sim_idx, node == 0)
-        child = jnp.take_along_axis(
-            row[:, _CHILD], a[:, None], axis=1,
-            mode="promise_in_bounds")[:, 0].astype(jnp.int32)
-        term_c = jnp.take_along_axis(
-            tree.node_sc[:, :, _NT], child[:, None], axis=1,
-            mode="promise_in_bounds")[:, 0] > 0.0
+        # _CHILD packs "child id + 0.5 if that child is terminal": one
+        # gather serves both the pointer and the terminal check
+        child_raw = jnp.take_along_axis(
+            row[:, _CHILD, :A], a[:, None], axis=1,
+            mode="promise_in_bounds")[:, 0].astype(jnp.float32)
+        child = jnp.floor(child_raw).astype(jnp.int32)
+        term_c = (child_raw - jnp.floor(child_raw)) > 0.25
         # cap reached: treat the chosen edge's child as the leaf (it is
         # re-evaluated and backed up, never expanded further this sim)
         now_stop = (child == 0) | term_c | (level >= depth_cap - 1)
@@ -285,7 +302,7 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
 
 def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
                     leaf_rot, parent, action, fresh, slot_b, pvalid_new,
-                    pallas_backup: bool = False):
+                    child_term, child_rot, leaf_init_v, term_vec):
     """Whole-path backup + node expansion in O(1) dense device passes
     (reference MCTS.py:168-176).
 
@@ -295,27 +312,41 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
     the leaf frame, so each ancestor reads the lane of its own mover seat.
     With one-seat-per-edge rotation this reduces to the reference's
     ``np.roll`` walk (rot(node)=level, leaf_rot=depth); per-node rotations
-    (lane ``_NC``) generalize it to noble-select plies that keep the turn.
+    (node column of lane ``_CHILD``) generalize it to noble-select plies
+    that keep the turn.
 
     ``slot_b`` is the PER-BOARD id of the node expanded this sim (boards
-    carry different node counts once trees are reused across moves).
+    carry different node counts once trees are reused across moves).  Its
+    row content — priors, terminal flag, rotation, initial value, terminal
+    value vector — is written whether or not the chosen edge was fresh; a
+    revisit leaves it as an unreferenced dead slot (same semantics as the
+    previous split-array writes).
 
     TPU cost model (measured, B=1024 S=64 A=409): any *dynamic-index* write
-    to the [B,M,4,A] stats array — scatter, lane-sliced .at[].add, or
-    dynamic-update-slice — rewrites (or worse) the whole 436MB buffer, so
+    to the [B,M,4,A+2] stats array — scatter, lane-sliced .at[].add, or
+    dynamic-update-slice — rewrites (or worse) the whole ~437MB buffer, so
     the entire mutation is expressed as ONE elementwise pass
     ``stats + einsum_delta + broadcast_row`` which XLA fuses into a single
     bandwidth-bound kernel with the one-hot matmul feeding it:
-    - edge N/W increments along the path   -> einsum delta lanes _EN/_EW
+    - edge N/W increments along the path   -> einsum delta lanes _EN/_EW at
+      columns path_a[l]
+    - node Ns / value-sum increments       -> the SAME einsum levels via a
+      TWO-hot action row (column a_l AND the node column A carry the same
+      per-level weights), so the packed layout absorbs the old separate
+      node-scalar einsum for free
     - fresh child-pointer install          -> an extra einsum "level" whose
-      lane-_CHILD weight is ``slot`` (add == set: a fresh edge's lane is 0)
-    - the expanded node's prior row        -> broadcast outer-product add on
-      lane _PVALID (row starts at -1, so adding ``pvalid+1`` sets it)
+      lane-_CHILD weight is ``slot + 0.5*terminal`` (add == set: a fresh
+      edge's lane is 0; the fraction packs the child-terminal flag read
+      back during descent)
+    - the expanded node's full row         -> broadcast outer-product add
+      (priors ride at +1 over the -1 initialization; node columns start 0)
     """
-    B, M, _, A = tree.stats.shape
+    B, M, _, A2 = tree.stats.shape
+    A = A2 - 2
     S = path_p.shape[1]
     P = value_vec.shape[1]
     mmt = _mm_dtype()
+    sdt = tree.stats.dtype
     lv = jnp.arange(S, dtype=jnp.int32)[None, :]                    # [1, S]
     mask = lv < depth[:, None]                                      # [B, S]
 
@@ -327,57 +358,43 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
         jax.nn.one_hot(roll_idx, P, dtype=value_vec.dtype), value_vec)
     v_l = jnp.where(mask, v_l, 0.0)
 
-    # node scalars: every path_p node (the strict ancestors) gets +1 / +v_l;
-    # full-width (8-lane) delta so the add is unstrided.
-    onehot_p = jax.nn.one_hot(jnp.where(mask, path_p, M), M,
-                              dtype=mmt)                             # [B, S, M]
-    w_sc = jnp.zeros((B, S, 8), mmt)\
-        .at[:, :, _NN].set(mask.astype(mmt))\
-        .at[:, :, _NV].set(v_l.astype(mmt))
-    dsc = jnp.einsum("bsm,bsv->bmv", onehot_p, w_sc,
-                     preferred_element_type=jnp.float32)             # [B, M, 8]
-    node_sc = tree.node_sc + dsc
-
-    slot_f = slot_b.astype(jnp.float32)
-    if pallas_backup:
-        from ..ops.fused_backup import fused_backup
-        w2 = jnp.stack([mask.astype(jnp.float32), v_l], -1)      # [B, S, 2]
-        stats = fused_backup(
-            tree.stats, jnp.where(mask, path_p, M), path_a, w2,
-            parent, action,
-            jnp.where(fresh, slot_f, 0.0),
-            pvalid_new + 1.0, slot_b,
-            interpret=jax.default_backend() != "tpu")
-        return tree._replace(stats=stats, node_sc=node_sc)
-
-    # edge stats + child install: one one-hot einsum over S+1 "levels".
     # Lane _PVALID (0) never receives einsum updates, so the contraction
     # runs over the 3 live lanes (_CHILD/_EN/_EW = stats lanes 1..3) and the
     # zero lane is concatenated back for the fused elementwise add — 25%
     # less MXU padding and operand traffic than a 4-lane delta.
+    slot_f = slot_b.astype(jnp.float32)
+    install = jnp.where(
+        fresh, slot_f + 0.5 * child_term.astype(jnp.float32), 0.0)
     pp = jnp.concatenate([jnp.where(mask, path_p, M), parent[:, None]], 1)
     pa = jnp.concatenate([path_a, action[:, None]], 1)               # [B, S+1]
     w = jnp.zeros((B, S + 1, 3), mmt)\
         .at[:, :S, _EN - 1].set(mask.astype(mmt))\
         .at[:, :S, _EW - 1].set(v_l.astype(mmt))\
-        .at[:, S, _CHILD - 1].set(jnp.where(fresh, slot_f, 0.0)
-                                  .astype(mmt))
+        .at[:, S, _CHILD - 1].set(install.astype(mmt))
     onehot_pp = jax.nn.one_hot(pp, M, dtype=mmt)                     # [B,S+1,M]
-    onehot_a = jax.nn.one_hot(pa, A, dtype=mmt)                      # [B,S+1,A]
-    va = onehot_a[:, :, None, :] * w[..., None]                      # [B,S+1,3,A]
+    # two-hot action rows: backup levels hit their action column AND the
+    # node column A; the install level (S) stays one-hot so the pointer
+    # lands only on its edge column
+    act_hot = jax.nn.one_hot(pa, A2, dtype=mmt)                      # [B,S+1,A+2]
+    act_hot = act_hot.at[:, :S, A].add(1)
+    va = act_hot[:, :, None, :] * w[..., None]                       # [B,S+1,3,A+2]
     delta3 = jnp.einsum("bsm,bsva->bmva", onehot_pp, va,
-                        preferred_element_type=jnp.float32)          # [B,M,3,A]
+                        preferred_element_type=jnp.float32)          # [B,M,3,A+2]
     delta = jnp.concatenate(
-        [jnp.zeros((B, M, 1, A), jnp.float32), delta3], axis=2)
+        [jnp.zeros((B, M, 1, A2), sdt), delta3.astype(sdt)], axis=2)
 
-    # expanded node's prior row: broadcast outer product, fused into the add
+    # expanded node's full row: broadcast outer product, fused into the add
+    content = jnp.zeros((B, 4, A2), jnp.float32)\
+        .at[:, _PVALID, :A].set(pvalid_new + 1.0)\
+        .at[:, _PVALID, A].set(child_term.astype(jnp.float32))\
+        .at[:, _CHILD, A].set(child_rot.astype(jnp.float32))\
+        .at[:, _EW, A].set(leaf_init_v)\
+        .at[:, :P, A + 1].set(term_vec)
     onehot_slot = jax.nn.one_hot(slot_b, M, dtype=jnp.float32)       # [B, M]
-    lane_pv = jax.nn.one_hot(_PVALID, 4, dtype=jnp.float32)          # [4]
-    row_add = (onehot_slot[:, :, None, None] * lane_pv[None, None, :, None]
-               * (pvalid_new + 1.0)[:, None, None, :])
-    stats = tree.stats + delta + row_add
+    row_add = onehot_slot[:, :, None, None] * content[:, None, :, :]
+    stats = tree.stats + delta + row_add.astype(sdt)
 
-    return tree._replace(stats=stats, node_sc=node_sc)
+    return tree._replace(stats=stats)
 
 
 def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
@@ -389,13 +406,28 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
     M = S + keep_cap + 1
     P = num_players
     PL = min(M - 1, cfg.max_depth) if cfg.max_depth > 0 else M - 1
+    sdt = jnp.dtype(cfg.stats_dtype)
+    if sdt == jnp.bfloat16 and M > 128:
+        raise ValueError(
+            f"stats_dtype=bfloat16 stores visit counts and the packed "
+            f"child-id+terminal-flag (id + 0.5) exactly only up to id 127, "
+            f"but tree capacity is {M} (num_sims={S}, keep_cap={keep_cap}); "
+            f"use float32")
+    if cfg.pallas_backup:
+        raise NotImplementedError(
+            "the Pallas fused-backup kernel targets the pre-packed split "
+            "stats/node_sc layout (and measured slower than the XLA einsum "
+            "it replaced, docs/PERF.md); ops/fused_backup.py remains as the "
+            "kernel reference with its own op-level tests")
 
     def empty_tree(B, R, C, A):
+        # packed layout: A action columns + 2 node-scalar columns; priors
+        # initialize to -1 ("invalid") on the action columns ONLY — the node
+        # columns (terminal flag etc.) must start at 0
         return Tree(
             states=jnp.zeros((B, M, R, C), jnp.int8),
-            stats=jnp.zeros((B, M, 4, A), jnp.float32)
-                  .at[:, :, _PVALID, :].set(-1.0),
-            node_sc=jnp.zeros((B, M, 8), jnp.float32),
+            stats=jnp.zeros((B, M, 4, A + 2), sdt)
+                  .at[:, :, _PVALID, :A].set(-1.0),
             parent=jnp.zeros((B, M), jnp.int32),
         )
 
@@ -428,12 +460,15 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
         # MCTS.py:150-153); carried roots keep their N/V scalars and edge
         # stats, fresh roots (n0 == 1) get the NN value as initial value sum
         carried = n0 > 1
-        fresh_sc = jnp.zeros((B, 8), jnp.float32).at[:, _NV].set(v0[:, 0])
-        sc0 = jnp.where(carried[:, None], tree.node_sc[:, 0], fresh_sc)
+        root_nn = jnp.where(carried, tree.stats[:, 0, _EN, A]
+                            .astype(jnp.float32), 0.0)
+        root_nv = jnp.where(carried, tree.stats[:, 0, _EW, A]
+                            .astype(jnp.float32), v0[:, 0])
         tree = tree._replace(
-            stats=tree.stats.at[:, 0, _PVALID, :].set(
-                _pack_pvalid(pi0, root_valid)),
-            node_sc=tree.node_sc.at[:, 0].set(sc0),
+            stats=tree.stats.at[:, 0, _PVALID, :A].set(
+                _pack_pvalid(pi0, root_valid).astype(sdt))
+            .at[:, 0, _EN, A].set(root_nn.astype(sdt))
+            .at[:, 0, _EW, A].set(root_nv.astype(sdt)),
         )
         # Path buffers stay PL wide even under a depth cap: measured on v5e,
         # shrinking the backup einsum's contraction (path-level axis) made
@@ -455,42 +490,43 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
             parent_states = _row(tree.states, parent)
             child_state, term_vec, child_valid, adv = jax.vmap(step_fn)(
                 parent_states, action)
-            child_rot = jnp.mod(parent_rot + adv, P).astype(jnp.float32)
+            child_rot = jnp.mod(parent_rot + adv, P)
             probs, values = eval_fn(params, child_state.astype(jnp.float32),
                                     child_valid)
             probs = _normalize_masked(probs, child_valid)
             child_term = jnp.abs(term_vec).sum(-1) > 0
 
-            new_sc = jnp.zeros((B, 8), jnp.float32)\
-                .at[:, _NV].set(values[:, 0])\
-                .at[:, _NT].set(child_term.astype(jnp.float32))\
-                .at[:, _NC].set(child_rot)
-            new_sc = jax.lax.dynamic_update_slice_in_dim(
-                new_sc, term_vec, _NTV, axis=1)
             tree = tree._replace(
                 states=_write_row(tree.states, slot_b, child_state),
-                node_sc=_write_row(tree.node_sc, slot_b, new_sc),
                 parent=_write_row(tree.parent, slot_b, parent),
             )
 
-            leaf = jnp.where(fresh, slot_b, existing)
-            leaf_sc = _row(tree.node_sc, leaf)                     # [B, 8]
-            leaf_term = leaf_sc[:, _NT] > 0.0
-            leaf_rot = leaf_sc[:, _NC].astype(jnp.int32)
-            leaf_tv = jax.lax.dynamic_slice_in_dim(leaf_sc, _NTV, P, axis=1)
+            # Leaf frame data: a FRESH leaf's scalars are exactly the values
+            # just computed (its row is only written inside the backup), so
+            # the row gather is needed only for revisited leaves.
+            leaf_row = _row(tree.stats, existing)              # [B, 4, A+2]
+            ex_term = leaf_row[:, _PVALID, A] > 0.0
+            ex_rot = leaf_row[:, _CHILD, A].astype(jnp.int32)
+            ex_tv = leaf_row[:, :P, A + 1].astype(jnp.float32)
+            leaf_term = jnp.where(fresh, child_term, ex_term)
+            leaf_rot = jnp.where(fresh, child_rot, ex_rot)
+            leaf_tv = jnp.where(fresh[:, None], term_vec, ex_tv)
             value_vec = jnp.where(leaf_term[:, None], leaf_tv, values)
             return _backprop_fused(tree, path_p, path_a, path_r, depth,
                                    value_vec, leaf_rot, parent, action, fresh,
                                    slot_b, _pack_pvalid(probs, child_valid),
-                                   pallas_backup=cfg.pallas_backup)
+                                   child_term, child_rot, values[:, 0],
+                                   term_vec)
 
         tree = jax.lax.fori_loop(0, S, sim_body, tree)
 
-        counts = tree.stats[:, 0, _EN].astype(jnp.int32)           # [B, A]
-        root_prior = jnp.maximum(tree.stats[:, 0, _PVALID], 0.0)
+        counts = tree.stats[:, 0, _EN, :A].astype(jnp.int32)       # [B, A]
+        root_prior = jnp.maximum(
+            tree.stats[:, 0, _PVALID, :A].astype(jnp.float32), 0.0)
 
         # Root Q vector (reference MCTS.py:64-66)
-        qs = tree.node_sc[:, 0, _NV] / (tree.node_sc[:, 0, _NN] + 1.0)
+        qs = (tree.stats[:, 0, _EW, A].astype(jnp.float32)
+              / (tree.stats[:, 0, _EN, A].astype(jnp.float32) + 1.0))
         q = jnp.concatenate([
             qs[:, None],
             jnp.repeat((-qs / (num_players - 1))[:, None], num_players - 1, 1),
@@ -559,16 +595,18 @@ def build_reusing_search(mcts_cfg: MCTSConfig, num_players: int,
         next state (chance draws must have matched the deterministic in-tree
         collapse — the same condition under which the reference's
         state-bytes dict lookup hits)."""
-        B, Mc, _, A = tree.stats.shape
+        B, Mc, _, A2 = tree.stats.shape
+        A = A2 - 2
         ar_m = jnp.arange(Mc, dtype=jnp.int32)[None, :]             # [1, M]
 
-        c_star = jnp.take_along_axis(
-            tree.stats[:, 0, _CHILD, :], actions[:, None], axis=1,
-            mode="promise_in_bounds")[:, 0].astype(jnp.int32)       # [B]
+        c_raw = jnp.take_along_axis(
+            tree.stats[:, 0, _CHILD, :A], actions[:, None], axis=1,
+            mode="promise_in_bounds")[:, 0].astype(jnp.float32)     # [B]
+        c_star = jnp.floor(c_raw).astype(jnp.int32)
         has = c_star > 0
         child_states = _row(tree.states, c_star)
         match = (child_states == next_states).reshape(B, -1).all(-1)
-        child_term = _row(tree.node_sc, c_star)[:, _NT] > 0.0
+        child_term = (c_raw - jnp.floor(c_raw)) > 0.25   # packed flag
         valid = has & match & ~child_term
 
         # reachability from c_star: parent-pointer doubling with absorbing
@@ -584,7 +622,8 @@ def build_reusing_search(mcts_cfg: MCTSConfig, num_players: int,
         # non-kept.  Stable sort + N(parent) >= N(child) + parents allocated
         # before children => an ancestor always precedes its descendants, so
         # truncation at KMAX never keeps an orphan.
-        n_i = jnp.minimum(tree.node_sc[:, :, _NN], 2.0 ** 28).astype(jnp.int32)
+        n_i = jnp.minimum(tree.stats[:, :, _EN, A].astype(jnp.float32),
+                          2.0 ** 28).astype(jnp.int32)
         key = ((ar_m == c_star[:, None]).astype(jnp.int32) * (1 << 30)
                + keep.astype(jnp.int32) * (1 << 29) + n_i)
         order = jnp.argsort(-key, axis=1, stable=True)              # [B, M]
@@ -595,26 +634,35 @@ def build_reusing_search(mcts_cfg: MCTSConfig, num_players: int,
         keep_fin = keep & (rank < n_kept[:, None])
         new_id = jnp.where(keep_fin, rank, 0)
 
-        # remap child pointers and parent ids in the OLD layout
-        child_old = tree.stats[:, :, _CHILD, :].astype(jnp.int32)
+        # remap child pointers (keeping the packed terminal fraction) and
+        # parent ids in the OLD layout
+        child_old_f = tree.stats[:, :, _CHILD, :A].astype(jnp.float32)
+        child_old = jnp.floor(child_old_f).astype(jnp.int32)
+        frac_old = child_old_f - jnp.floor(child_old_f)
         flat = child_old.reshape(B, Mc * A)
         keep_c = jnp.take_along_axis(keep_fin, flat, axis=1,
                                      mode="promise_in_bounds")
         id_c = jnp.take_along_axis(new_id, flat, axis=1,
                                    mode="promise_in_bounds")
-        child_new = jnp.where((flat > 0) & keep_c, id_c, 0)\
-            .reshape(B, Mc, A).astype(jnp.float32)
-        stats_old = tree.stats.at[:, :, _CHILD, :].set(child_new)
+        child_new = jnp.where(
+            (flat > 0) & keep_c,
+            id_c.astype(jnp.float32) + frac_old.reshape(B, Mc * A),
+            0.0).reshape(B, Mc, A)
+        sdt_l = tree.stats.dtype
+        stats_old = tree.stats.at[:, :, _CHILD, :A].set(
+            child_new.astype(sdt_l))
 
         par_keep = jnp.take_along_axis(keep_fin, tree.parent, axis=1,
                                        mode="promise_in_bounds")
         par_new = jnp.where(par_keep, jnp.take_along_axis(
             new_id, tree.parent, axis=1, mode="promise_in_bounds"), 0)
 
-        # seat rotations become relative to the new root
-        rot_c = _row(tree.node_sc, c_star)[:, _NC]
-        rot_new = jnp.mod(tree.node_sc[:, :, _NC] - rot_c[:, None], P)
-        sc_old = tree.node_sc.at[:, :, _NC].set(rot_new)
+        # seat rotations (node column of lane _CHILD) rebase to the new root
+        rot_c = _row(tree.stats, c_star)[:, _CHILD, A].astype(jnp.float32)
+        rot_new = jnp.mod(tree.stats[:, :, _CHILD, A].astype(jnp.float32)
+                          - rot_c[:, None], P)
+        stats_old = stats_old.at[:, :, _CHILD, A].set(
+            rot_new.astype(sdt_l))
 
         # gather rows into the new order, then blank rows >= n_kept and
         # whole boards without valid reuse
@@ -625,13 +673,12 @@ def build_reusing_search(mcts_cfg: MCTSConfig, num_players: int,
 
         live = (ar_m < n_kept[:, None]) & valid[:, None]            # [B, M]
         l4 = live[:, :, None, None]
-        empty_stats = jnp.zeros((4, A), jnp.float32)\
-            .at[_PVALID].set(-1.0)[None, None]
+        empty_stats = jnp.zeros((4, A + 2), sdt_l)\
+            .at[_PVALID, :A].set(-1.0)[None, None]
         new_tree = Tree(
             states=jnp.where(l4, g(tree.states), 0)
                    .at[:, 0].set(next_states),
             stats=jnp.where(l4, g(stats_old), empty_stats),
-            node_sc=jnp.where(live[:, :, None], g(sc_old), 0.0),
             parent=jnp.where(live, jnp.take_along_axis(
                 par_new, order, axis=1, mode="promise_in_bounds"), 0),
         )

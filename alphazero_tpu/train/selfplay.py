@@ -57,6 +57,10 @@ class SelfPlayConfig:
     # it (the node at the cap is re-evaluated, not expanded — mctx max_depth
     # semantics)
     max_depth: int = 64
+    # MCTS edge-stats storage dtype ("float32" | "bfloat16"); bfloat16 halves
+    # the backup's HBM traffic but requires tree capacity <= 256 (exact
+    # integer counts) — see MCTSConfig.stats_dtype
+    stats_dtype: str = "float32"
 
 
 class SelfPlayEngine:
@@ -77,10 +81,11 @@ class SelfPlayEngine:
             num_sims=cfg.num_sims, cpuct=cfg.cpuct, fpu=cfg.fpu,
             forced_playouts=cfg.forced_playouts, add_noise=True,
             dirichlet_alpha=cfg.dirichlet_alpha, prior_temp=cfg.prior_temp,
-            max_depth=cfg.max_depth)
+            max_depth=cfg.max_depth, stats_dtype=cfg.stats_dtype)
         fast = M.MCTSConfig(
             num_sims=max(cfg.num_sims // cfg.ratio_full, 2),
-            cpuct=cfg.cpuct, fpu=cfg.fpu, max_depth=cfg.max_depth)
+            cpuct=cfg.cpuct, fpu=cfg.fpu, max_depth=cfg.max_depth,
+            stats_dtype=cfg.stats_dtype)
         ecfg = env_cfg
 
         def _init_batch(key):

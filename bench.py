@@ -27,15 +27,21 @@ def main():
     from alphazero_tpu.search import mcts as M
 
     env_cfg = E.SplendorConfig(num_players=2)
+    # dtype knobs: BENCH_DTYPE (net trunk compute) / BENCH_STATS_DTYPE (MCTS
+    # edge stats).  Both stay float32 by default: measured on this chip the
+    # bfloat16 variants are SLOWER (180k f32/f32 vs 163k bf16/bf16 — the
+    # converts in the descent loop cost more than the halved backup traffic
+    # saves; docs/PERF.md)
     net_cfg = A.net_config_for(
         env_cfg, dtype=os.environ.get("BENCH_DTYPE", "float32"))
+    stats_dtype = os.environ.get("BENCH_STATS_DTYPE", "float32")
     params, batch_stats = N.init_params(net_cfg, jax.random.PRNGKey(0))
     bundle = (params, batch_stats)
 
     eval_fn = A.make_eval_fn(net_cfg)
     search = jax.jit(M.build_search(
         M.MCTSConfig(num_sims=sims, add_noise=True, dirichlet_alpha=0.2,
-                     prior_temp=1.25),
+                     prior_temp=1.25, stats_dtype=stats_dtype),
         env_cfg.num_players, eval_fn,
         A.make_search_step_fn(env_cfg), A.make_valid_fn(env_cfg)))
 

@@ -26,13 +26,14 @@ def main():
     sims = int(os.environ.get("BENCH_SIMS", "128"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     reuse = os.environ.get("BENCH_REUSE", "0") == "1"
+    players = int(os.environ.get("BENCH_PLAYERS", "2"))
 
     from alphazero_tpu.games.splendor import adapter as A
     from alphazero_tpu.games.splendor import env as E
     from alphazero_tpu.models import splendor_net as N
     from alphazero_tpu.train import selfplay as SP
 
-    env_cfg = E.SplendorConfig(num_players=2)
+    env_cfg = E.SplendorConfig(num_players=players)
     net_cfg = A.net_config_for(
         env_cfg, dtype=os.environ.get("BENCH_DTYPE", "float32"))
     params, bs = N.init_params(net_cfg, jax.random.PRNGKey(0))
@@ -40,7 +41,9 @@ def main():
 
     cfg = SP.SelfPlayConfig(batch_size=batch, num_sims=sims, ratio_full=4,
                             prob_full=0.25, temp_threshold=10,
-                            forced_playouts=True, tree_reuse=reuse)
+                            forced_playouts=True, tree_reuse=reuse,
+                            stats_dtype=os.environ.get("BENCH_STATS_DTYPE",
+                                                       "float32"))
     eng = SP.SelfPlayEngine(env_cfg, A.make_eval_fn(net_cfg), cfg)
     rng = np.random.default_rng(0)
 
@@ -73,6 +76,7 @@ def main():
         "examples_per_s": round(totals["examples"] / dt, 1),
         "batch": batch,
         "num_sims": sims,
+        "num_players": players,
         "tree_reuse": reuse,
         "model_flops_per_s": round(model_flops_per_s),
     }

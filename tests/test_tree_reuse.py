@@ -39,10 +39,10 @@ def test_reroot_carries_subtree(setup):
     # deterministic in-tree step => reuse must validate
     next_states = jax.vmap(lambda s, a: step_fn(s, a)[0])(roots, actions)
     old_stats = np.asarray(tree.stats)
-    old_sc = np.asarray(tree.node_sc)
-    c_star = np.take_along_axis(old_stats[:, 0, 1, :],
+    A = old_stats.shape[-1] - 2               # packed layout: node cols A, A+1
+    c_star = np.take_along_axis(old_stats[:, 0, 1, :A],
                                 np.asarray(actions)[:, None], 1)[:, 0]\
-        .astype(int)
+        .astype(int)                           # floor drops the terminal frac
     assert (c_star > 0).all()
 
     tree2, n2 = jax.jit(rs.reroot)(tree, actions, next_states)
@@ -53,23 +53,23 @@ def test_reroot_carries_subtree(setup):
 
     st2 = np.asarray(tree2.states)
     np.testing.assert_array_equal(st2[:, 0], np.asarray(next_states))
-    sc2 = np.asarray(tree2.node_sc)
     stats2 = np.asarray(tree2.stats)
     par2 = np.asarray(tree2.parent)
     for b in range(B):
         c = c_star[b]
         # new root keeps the played child's node scalars and edge stats
-        assert sc2[b, 0, 0] == old_sc[b, c, 0]          # _NN
-        assert sc2[b, 0, 1] == old_sc[b, c, 1]          # _NV
-        en_old = old_stats[b, c, 2]
+        # (node cols: Ns at [_EN, A], value sum at [_EW, A])
+        assert stats2[b, 0, 2, A] == old_stats[b, c, 2, A]
+        assert stats2[b, 0, 3, A] == old_stats[b, c, 3, A]
+        en_old = old_stats[b, c, 2, :A]
         # edge visit rows are carried verbatim
-        np.testing.assert_array_equal(stats2[b, 0, 2], en_old)
+        np.testing.assert_array_equal(stats2[b, 0, 2, :A], en_old)
         # structural invariants over the compacted prefix
         k = n2[b]
         assert par2[b, 0] == 0
         for j in range(1, k):
             assert 0 <= par2[b, j] < j          # ancestors precede children
-        child2 = stats2[b, :k, 1].astype(int)
+        child2 = np.floor(stats2[b, :k, 1, :A]).astype(int)
         live_children = child2[child2 > 0]
         assert (live_children < k).all()
         # each installed child points back at its parent
@@ -77,9 +77,10 @@ def test_reroot_carries_subtree(setup):
             for a_, ch in enumerate(child2[m]):
                 if ch > 0:
                     assert par2[b, ch] == m
-        # rows beyond the kept prefix are blank (prior lane -1)
-        assert (stats2[b, k:, 0] == -1.0).all()
-        assert (sc2[b, k:] == 0).all()
+        # rows beyond the kept prefix are blank (prior lane -1 on the
+        # action columns, node columns zeroed)
+        assert (stats2[b, k:, 0, :A] == -1.0).all()
+        assert (stats2[b, k:, :, A:] == 0).all()
 
 
 def test_search_from_carried_tree_accumulates(setup):
@@ -92,7 +93,8 @@ def test_search_from_carried_tree_accumulates(setup):
     next_states = jax.vmap(lambda s, a: step_fn(s, a)[0])(roots, actions)
     tree2, n2 = jax.jit(rs.reroot)(tree, actions, next_states)
 
-    carried = np.asarray(tree2.node_sc)[:, 0, 0]       # root _NN
+    A = np.asarray(tree2.stats).shape[-1] - 2
+    carried = np.asarray(tree2.stats)[:, 0, 2, A]      # root Ns (node col)
     res2, tree3, n3 = jax.jit(rs.run)(None, tree2, n2, jax.random.PRNGKey(2))
     counts = np.asarray(res2.raw_counts)
     # counts include carried visits (reference keeps Nsa across moves)
@@ -115,7 +117,9 @@ def test_reroot_invalidates_on_state_mismatch(setup):
     assert (np.asarray(n2) == 1).all()
     np.testing.assert_array_equal(np.asarray(tree2.states)[:, 0],
                                   np.asarray(other))
-    assert (np.asarray(tree2.node_sc)[:, 0] == 0).all()
+    stats2 = np.asarray(tree2.stats)
+    A = stats2.shape[-1] - 2
+    assert (stats2[:, 0, :, A:] == 0).all()            # node scalars cleared
     # a fresh search from the voided tree behaves like a cold search
     res2, _, _ = jax.jit(rs.run)(None, tree2, n2, jax.random.PRNGKey(2))
     np.testing.assert_array_equal(np.asarray(res2.raw_counts).sum(1), 40)
