@@ -1,13 +1,16 @@
-"""Checkpoint -> serialized inference artifact.
+"""Checkpoint -> serialized inference artifact (StableHLO or ONNX).
 
-TPU-native replacement for the reference's ONNX export path
-(chkpt_to_onnx.py:20-41, GenericNNetWrapper.py:283-324): instead of detouring
-through ONNX Runtime for low-latency inference, the jitted forward pass is
-serialized with ``jax.export`` (StableHLO) with a symbolic batch dimension,
-so any JAX runtime (CPU/GPU/TPU) can reload and run it without the Python
-model definition.
+Two formats:
+- ``--format stablehlo`` (default): the TPU-native path — the jitted forward
+  is serialized with ``jax.export`` (symbolic batch dimension), so any JAX
+  runtime (CPU/GPU/TPU) reloads and runs it without the Python model.
+- ``--format onnx``: the reference-ecosystem artifact
+  (chkpt_to_onnx.py:20-41: inputs board/valid_actions, outputs
+  pi/v/scdiffs, dynamic batch) for ORT consumers, emitted by the
+  dependency-free writer in compat/onnx_export.py.
 
     python -m alphazero_tpu.cli.export temp/best.pt -o best.stablehlo
+    python -m alphazero_tpu.cli.export temp/best.pt --format onnx -o best.onnx
     python -m alphazero_tpu.cli.export temp/best.pt --check   # roundtrip test
 """
 
@@ -64,15 +67,43 @@ def load_exported(path: str):
     return exported.call
 
 
+def export_onnx_checkpoint(checkpoint_path: str, out_path: str,
+                           num_players: int = 2,
+                           nn_version: int | None = None) -> str:
+    """ONNX-format export (reference chkpt_to_onnx.py contract)."""
+    from ..compat.onnx_export import export_onnx
+    from ..games.splendor import adapter as A
+    from ..games.splendor import env as E
+    from ..utils import checkpoint as CKPT
+
+    ckpt = CKPT.load_checkpoint(os.path.dirname(checkpoint_path) or ".",
+                                os.path.basename(checkpoint_path))
+    meta = ckpt.get("meta", {})
+    env_cfg = E.SplendorConfig(
+        num_players=meta.get("num_players", num_players))
+    net_cfg = A.net_config_for(
+        env_cfg, nn_version=(nn_version if nn_version is not None
+                             else meta.get("nn_version", 1)))
+    return export_onnx(net_cfg, ckpt["params"], ckpt["batch_stats"], out_path)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("checkpoint")
     p.add_argument("-o", "--out", default=None)
     p.add_argument("--numPlayers", "-np", type=int, default=2)
+    p.add_argument("--format", choices=("stablehlo", "onnx"),
+                   default="stablehlo")
     p.add_argument("--platforms", default="cpu,tpu")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and compare against the live net")
     args = p.parse_args(argv)
+
+    if args.format == "onnx":
+        out = args.out or (os.path.splitext(args.checkpoint)[0] + ".onnx")
+        export_onnx_checkpoint(args.checkpoint, out, args.numPlayers)
+        print(f"wrote {out} ({os.path.getsize(out)} bytes)")
+        return 0
 
     out = args.out or (os.path.splitext(args.checkpoint)[0] + ".stablehlo")
     blob = export_checkpoint(args.checkpoint, out, args.numPlayers,
