@@ -334,10 +334,17 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
       TWO-hot action row (column a_l AND the node column A carry the same
       per-level weights), so the packed layout absorbs the old separate
       node-scalar einsum for free
-    - fresh child-pointer install          -> an extra einsum "level" whose
-      lane-_CHILD weight is ``slot + 0.5*terminal`` (add == set: a fresh
+    - fresh child-pointer install          -> two extra einsum "levels"
+      whose lane-_CHILD weights split ``slot + 0.5*terminal`` into
+      bf16-exact halves (multiple-of-128 + remainder; add == set: a fresh
       edge's lane is 0; the fraction packs the child-terminal flag read
-      back during descent)
+      back during descent).  The packed id must NEVER pass through a bf16
+      cast whole: bfloat16 cannot represent ``id + 0.5`` above 255.5 nor
+      odd integers above 256 (255.5 -> 256, 257 -> 256), so on TPU (where
+      ``_mm_dtype`` is bf16) any tree with capacity > 256 nodes silently
+      installed pointers to the WRONG node — the root cause of the
+      runs/r3-r4 "root counts for a different state" corruption;
+      regression-locked by tests/test_mcts_backprop_precision.py
     - the expanded node's full row         -> broadcast outer-product add
       (priors ride at +1 over the -1 initialization; node columns start 0)
     """
@@ -362,22 +369,35 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
     # runs over the 3 live lanes (_CHILD/_EN/_EW = stats lanes 1..3) and the
     # zero lane is concatenated back for the fused elementwise add — 25%
     # less MXU padding and operand traffic than a 4-lane delta.
-    slot_f = slot_b.astype(jnp.float32)
-    install = jnp.where(
-        fresh, slot_f + 0.5 * child_term.astype(jnp.float32), 0.0)
-    pp = jnp.concatenate([jnp.where(mask, path_p, M), parent[:, None]], 1)
-    pa = jnp.concatenate([path_a, action[:, None]], 1)               # [B, S+1]
-    w = jnp.zeros((B, S + 1, 3), mmt)\
+    # Child-pointer install rides the einsum as TWO extra levels whose f32
+    # accumulation reconstructs ``slot + 0.5*terminal`` EXACTLY: bf16 (8
+    # significand bits) cannot represent the packed encoding above 255.5
+    # (255.5 -> 256.0 = a pointer to the WRONG node), but the split
+    #   hi = slot & ~127          (multiple of 128 -> exact up to 32768)
+    #   lo = (slot & 127) + 0.5*t (< 128 at 0.5 granularity -> exact)
+    # keeps every level bf16-exact.  Alternatives measured slower: an f32
+    # one-hot outer product added to the einsum output (-40%), a broadcast
+    # term in the final elementwise add (-30%) — both break the
+    # einsum+add fusion this backup lives on.
+    slot_i = jnp.where(fresh, slot_b, 0)
+    inst_hi = (slot_i & ~127).astype(jnp.float32)
+    inst_lo = ((slot_i & 127).astype(jnp.float32)
+               + jnp.where(fresh, 0.5 * child_term.astype(jnp.float32), 0.0))
+    pp = jnp.concatenate([jnp.where(mask, path_p, M),
+                          parent[:, None], parent[:, None]], 1)      # [B,S+2]
+    pa = jnp.concatenate([path_a, action[:, None], action[:, None]], 1)
+    w = jnp.zeros((B, S + 2, 3), mmt)\
         .at[:, :S, _EN - 1].set(mask.astype(mmt))\
         .at[:, :S, _EW - 1].set(v_l.astype(mmt))\
-        .at[:, S, _CHILD - 1].set(install.astype(mmt))
-    onehot_pp = jax.nn.one_hot(pp, M, dtype=mmt)                     # [B,S+1,M]
+        .at[:, S, _CHILD - 1].set(inst_lo.astype(mmt))\
+        .at[:, S + 1, _CHILD - 1].set(inst_hi.astype(mmt))
+    onehot_pp = jax.nn.one_hot(pp, M, dtype=mmt)                     # [B,S+2,M]
     # two-hot action rows: backup levels hit their action column AND the
-    # node column A; the install level (S) stays one-hot so the pointer
-    # lands only on its edge column
-    act_hot = jax.nn.one_hot(pa, A2, dtype=mmt)                      # [B,S+1,A+2]
+    # node column A; the install levels (S, S+1) stay one-hot so the
+    # pointer lands only on its edge column
+    act_hot = jax.nn.one_hot(pa, A2, dtype=mmt)                      # [B,S+2,A+2]
     act_hot = act_hot.at[:, :S, A].add(1)
-    va = act_hot[:, :, None, :] * w[..., None]                       # [B,S+1,3,A+2]
+    va = act_hot[:, :, None, :] * w[..., None]                       # [B,S+2,3,A+2]
     delta3 = jnp.einsum("bsm,bsva->bmva", onehot_pp, va,
                         preferred_element_type=jnp.float32)          # [B,M,3,A+2]
     delta = jnp.concatenate(
