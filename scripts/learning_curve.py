@@ -22,6 +22,10 @@ def load(run_dir):
         for line in f:
             if line.strip():
                 rows.append(json.loads(line))
+    # a crash-restarted run (cli/train_resilient) restarts the coach's local
+    # iteration numbering; the cumulative record index is the true iteration
+    for i, r in enumerate(rows):
+        r["iter"] = i + 1
     return rows
 
 

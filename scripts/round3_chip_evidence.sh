@@ -20,7 +20,7 @@ BENCH_BATCH=4096 BENCH_SIMS=64 BENCH_REPS=2 timeout 600 python bench.py \
     2>/dev/null | tail -1 | tee bench_out/search_b4096.json
 
 echo "=== 1b. self-play throughput 2P/3P/4P ==="
-for P in 2 3 4; do
+for P in 2 3; do
   BENCH_PLAYERS=$P BENCH_BATCH=256 BENCH_SIMS=128 BENCH_REPS=2 \
     timeout 900 python bench_selfplay.py 2>/dev/null | tail -1 \
     | tee bench_out/selfplay_${P}p.json
@@ -37,7 +37,7 @@ echo "{\"reuse_invalid_visit_warnings\": ${MASKED}}" \
     | tee bench_out/reuse_validation.json
 
 echo "=== 3. short 3-player training run ==="
-timeout 2400 python -m alphazero_tpu.cli.main -n 5 -np 3 -e 256 \
+timeout 1500 python -m alphazero_tpu.cli.main -n 3 -np 3 -e 256 \
     --selfplayBatch 128 -m 128 --ratio-fullMCTS 4 --prob-fullMCTS 0.25 \
     -T 10 -F -p 2 -b 64 --arenaCompare 90 --eval-baselines 90 \
     -C ./runs/r7_3p --seed 5 > runs/r7_3p.log 2>&1 || true

@@ -45,7 +45,7 @@ for name, opp in (("greedy", AR.make_greedy_agent(env_cfg)),
 print(json.dumps(out))
 EOF
 
-echo "=== pit vs alphabeta (depth 4) ==="
-timeout 2400 python -m alphazero_tpu.cli.pit "$CKPT" alphabeta \
-    -n 20 -m "$SIMS" --ab-depth 4 --ab-deadline 2.0 --seed 9 \
+echo "=== pit vs alphabeta (depth 4, 1 s/move deadline) ==="
+timeout 1500 python -m alphazero_tpu.cli.pit "$CKPT" alphabeta \
+    -n 12 -m "$SIMS" --ab-depth 4 --ab-deadline 1.0 --seed 9 \
     2>&1 | tail -5 | tee bench_out/final_eval_alphabeta.txt
