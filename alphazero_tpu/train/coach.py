@@ -258,14 +258,21 @@ class Coach:
                 A.make_valid_fn(self.env_cfg)))
         net = AR.make_search_agent(self._eval_search, self.bundle)
         out = {}
+        n = cfg.num_players
         for name, opp in (("random", self._random_agent),
                           ("greedy", self._greedy_agent)):
-            self.key, k1, k2 = jax.random.split(self.key, 3)
-            r1 = self._eval_arena.play([net, opp], k1)
-            r2 = self._eval_arena.play([opp, net], k2)
-            w1, d1 = r1.tally([0, 1])
-            w2, d2 = r2.tally([1, 0])
-            w, l, d = w1[0] + w2[0], w1[1] + w2[1], d1 + d2
+            # the net occupies each of the N seats in turn, every other seat
+            # taken by the baseline (N-player generalization of the
+            # reference's 1-2/2-1 alternation, Arena.py:195-202)
+            w = l = d = 0
+            for seat in range(n):
+                self.key, k = jax.random.split(self.key)
+                agents = [net if p == seat else opp for p in range(n)]
+                groups = [0 if p == seat else 1 for p in range(n)]
+                wins, dr = self._eval_arena.play(agents, k).tally(groups)
+                w += wins[0]
+                l += wins[1]
+                d += dr
             out[f"wins_vs_{name}"] = w
             out[f"losses_vs_{name}"] = l
             out[f"draws_vs_{name}"] = d
