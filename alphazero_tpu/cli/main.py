@@ -128,11 +128,19 @@ def main(argv=None):
         from ..parallel import distributed as D
         D.initialize()
     coach = Coach(args_to_config(args))
+    start_iter = 1
     if args.load_folder_file:
         import os
+        from ..train.coach import completed_iterations
         coach.load_checkpoint(os.path.dirname(args.load_folder_file),
                               os.path.basename(args.load_folder_file),
                               fallback=args.load_fallback)
+        # resume continuity: -n is the TOTAL iteration budget; continue the
+        # monotone numbering recorded in this run's metrics.jsonl
+        start_iter = completed_iterations(coach.cfg.checkpoint_dir) + 1
+        if start_iter > 1:
+            log.info("resuming at iteration %d of %d", start_iter,
+                     coach.cfg.num_iters)
     if args.profile:
         from ..utils import profiling
         coach.cfg = CoachConfig(**{**vars(coach.cfg), "num_iters": 1,
@@ -141,7 +149,7 @@ def main(argv=None):
             coach.learn()
         profiling.print_top_ops("./jax-trace")
     else:
-        coach.learn()
+        coach.learn(start_iter=start_iter)
 
 
 if __name__ == "__main__":

@@ -134,6 +134,93 @@ def play_games(game, players, num_games, record_dir=None, verbose=False,
     return wins, draws, scores_sum
 
 
+def _batched_agent(spec: str, env_cfg, args, closers: list):
+    """Resolve an agent spec to a batched-arena Agent callable
+    (canon [B,R,7], key) -> actions [B]."""
+    import jax
+    import jax.numpy as jnp
+    from ..eval import arena as AR
+    if spec == "random":
+        from ..games.splendor import env as E
+        valids = jax.jit(jax.vmap(lambda s: E.valid_moves(env_cfg, s, 0)))
+        return AR.make_random_agent(valids)
+    if spec == "greedy":
+        return AR.make_greedy_agent(env_cfg)
+    if spec == "alphabeta":
+        from ..eval.ab_pool import AlphaBetaPool
+        pool = AlphaBetaPool(env_cfg.num_players, depth=args.ab_depth,
+                             deadline_s=args.ab_deadline)
+        closers.append(pool.close)
+        return pool.agent
+    # checkpoint path -> batched NN+MCTS (temp=0, full search — the
+    # reference pit player, pit.py:88-91)
+    from ..games.splendor import adapter as A
+    from ..search import mcts as M
+    from ..utils import checkpoint as CKPT
+    ckpt = CKPT.load_checkpoint(os.path.dirname(spec) or ".",
+                                os.path.basename(spec))
+    meta = ckpt.get("meta", {})
+    num_sims = args.numMCTSSims or int(meta.get("num_sims", 200))
+    bundle = (jax.tree_util.tree_map(jnp.asarray, ckpt["params"]),
+              jax.tree_util.tree_map(jnp.asarray, ckpt["batch_stats"]))
+    net_cfg = A.net_config_for(env_cfg)
+    search = jax.jit(M.build_search(
+        M.MCTSConfig(num_sims=num_sims, cpuct=float(meta.get("cpuct", 1.0)),
+                     fpu=float(meta.get("fpu", 0.0))),
+        env_cfg.num_players, A.make_eval_fn(net_cfg),
+        A.make_search_step_fn(env_cfg), A.make_valid_fn(env_cfg)))
+    return AR.make_search_agent(search, bundle)
+
+
+def play_batched(args):
+    """Device-batched pit: agent A rotates through every seat, all other
+    seats taken by agent B, ``num_games // num_players`` lockstep games per
+    seat (the N-seat generalization of the reference's 1-2/2-1 alternation,
+    Arena.py:195-202).  Used where the sequential host loop cannot finish —
+    e.g. ≥20 games vs reference-config alphabeta (depth 6, 10 s/move,
+    SplendorPlayers.py:15-16), whose deadline-bound moves run in a parallel
+    CPU worker pool while NN moves run as one batched search on device."""
+    import json
+    import time
+    import jax
+    from ..eval import arena as AR
+    from ..games.splendor import env as E
+
+    n = args.numPlayers
+    env_cfg = E.SplendorConfig(num_players=n)
+    per_seat = max(args.num_games // n, 1)
+    closers: list = []
+    a_main = _batched_agent(args.players[0], env_cfg, args, closers)
+    a_opp = _batched_agent(args.players[1], env_cfg, args, closers)
+    arena = AR.BatchArena(env_cfg, per_seat)
+    key = jax.random.PRNGKey(args.seed)
+    w = l = d = 0
+    t0 = time.time()
+    try:
+        for seat in range(n):
+            key, k = jax.random.split(key)
+            agents = [a_main if p == seat else a_opp for p in range(n)]
+            groups = [0 if p == seat else 1 for p in range(n)]
+            res = arena.play(agents, k)
+            wins, dr = res.tally(groups)
+            w += wins[0]
+            l += wins[1]
+            d += dr
+            log.info("seat %d/%d done: cumulative %d-%d (%d draws)",
+                     seat + 1, n, w, l, d)
+    finally:
+        for c in closers:
+            c()
+    out = {"players": args.players, "num_players": n,
+           "games": w + l + d, "wins": w, "losses": l, "draws": d,
+           "winrate": (w + 0.5 * d) / max(w + l + d, 1),
+           "sims": args.numMCTSSims,
+           "ab_depth": args.ab_depth, "ab_deadline": args.ab_deadline,
+           "seconds": round(time.time() - t0, 1)}
+    print(json.dumps(out))
+    return out
+
+
 def run_tournament(game, args):
     """Round-robin of recent checkpoints with Glicko-2 bookkeeping
     (reference pit.py:115-201 play_age/update_ratings — the reference's
@@ -188,9 +275,18 @@ def main(argv=None):
                         "explicit players (reference pit.py play_age)")
     p.add_argument("--max-age-hours", type=float, default=None,
                    help="with --tournament: only checkpoints newer than this")
+    p.add_argument("--batched", action="store_true",
+                   help="device-batched lockstep arena instead of the "
+                        "sequential host loop (2 agent specs; alphabeta "
+                        "moves run in a parallel CPU worker pool)")
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+
+    if args.batched:
+        if len(args.players) != 2:
+            p.error("--batched takes exactly 2 agent specs")
+        return play_batched(args)
 
     from ..games.game_api import SplendorGame
     game = SplendorGame(args.numPlayers, seed=args.seed)

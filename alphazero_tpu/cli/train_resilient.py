@@ -23,11 +23,21 @@ import time
 
 
 def completed_iters(ckpt_dir: str) -> int:
+    # highest recorded iteration (metrics numbering is monotone across
+    # restarts since the start_iter resume wiring in cli.main)
+    import json
     path = os.path.join(ckpt_dir, "metrics.jsonl")
     if not os.path.exists(path):
         return 0
+    done = 0
     with open(path) as f:
-        return sum(1 for line in f if line.strip())
+        for line in f:
+            if line.strip():
+                try:
+                    done = max(done, int(json.loads(line).get("iter", 0)))
+                except ValueError:
+                    continue
+    return done
 
 
 def _flag_value(rest: list[str], names: tuple[str, ...], default=None):
@@ -35,15 +45,6 @@ def _flag_value(rest: list[str], names: tuple[str, ...], default=None):
         if tok in names and i + 1 < len(rest):
             return rest[i + 1]
     return default
-
-
-def _replace_flag(rest: list[str], names: tuple[str, ...], value: str):
-    out = list(rest)
-    for i, tok in enumerate(out):
-        if tok in names and i + 1 < len(out):
-            out[i + 1] = value
-            return out
-    return out + [names[0], value]
 
 
 def main(argv=None):
@@ -61,8 +62,9 @@ def main(argv=None):
         if remaining <= 0:
             print(f"[driver] {done}/{total} iterations complete")
             return 0
-        cmd = [sys.executable, "-m", "alphazero_tpu.cli.main",
-               *_replace_flag(rest, ("-n", "--numIters"), str(remaining))]
+        # -n stays the TOTAL budget: cli.main infers the continuation point
+        # from metrics.jsonl itself, keeping one monotone iteration sequence
+        cmd = [sys.executable, "-m", "alphazero_tpu.cli.main", *rest]
         temp = os.path.join(ckpt, "temp.pt")
         if "-L" not in rest and "--load-folder-file" not in rest \
                 and os.path.exists(temp):
@@ -70,7 +72,8 @@ def main(argv=None):
             # half-written at crash time should fall back to best.pt, not
             # dead-loop the supervisor)
             cmd += ["-L", temp, "--load-fallback"]
-        print(f"[driver] attempt {attempt}: {remaining} iterations remain")
+        print(f"[driver] attempt {attempt}: {remaining} iterations remain "
+              f"(continuing at iter {done + 1})")
         rc = subprocess.call(cmd)
         if rc == 0 and completed_iters(ckpt) >= total:
             print(f"[driver] run complete ({total} iterations)")

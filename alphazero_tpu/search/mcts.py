@@ -342,9 +342,12 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
       cast whole: bfloat16 cannot represent ``id + 0.5`` above 255.5 nor
       odd integers above 256 (255.5 -> 256, 257 -> 256), so on TPU (where
       ``_mm_dtype`` is bf16) any tree with capacity > 256 nodes silently
-      installed pointers to the WRONG node — the root cause of the
-      runs/r3-r4 "root counts for a different state" corruption;
-      regression-locked by tests/test_mcts_backprop_precision.py
+      installed pointers to the WRONG node — the root cause of the class-1
+      "root counts for a different state" corruption (a reuse-specific
+      class-2 defect remained open past this fix; see docs/PERF.md);
+      regression-locked by tests/test_mcts_backprop_precision.py.  The
+      split itself is exact only while ``hi = slot & ~127`` is bf16-exact,
+      i.e. capacity <= 32768 — guarded in ``_build_core``
     - the expanded node's full row         -> broadcast outer-product add
       (priors ride at +1 over the -1 initialization; node columns start 0)
     """
@@ -433,6 +436,16 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
             f"child-id+terminal-flag (id + 0.5) exactly only up to id 127, "
             f"but tree capacity is {M} (num_sims={S}, keep_cap={keep_cap}); "
             f"use float32")
+    if _mm_dtype() == jnp.bfloat16 and M > 32768:
+        # the child-pointer install rides the backup einsum in _mm_dtype as
+        # hi = slot & ~127 (bf16-exact only while slot <= 32768: 128*k needs
+        # k <= 256) plus a <128 remainder — beyond that the install would
+        # silently write wrong pointers again (the class-1 failure mode)
+        raise ValueError(
+            f"tree capacity {M} exceeds 32768, the largest size whose "
+            f"child-pointer install split (hi = multiple-of-128) is exact "
+            f"in the bf16 backup einsum on this backend; shrink "
+            f"num_sims+keep_cap")
     if cfg.pallas_backup:
         raise NotImplementedError(
             "the Pallas fused-backup kernel targets the pre-packed split "

@@ -28,6 +28,28 @@ from .replay import ReplayBuffer
 log = logging.getLogger(__name__)
 
 
+def completed_iterations(checkpoint_dir: str) -> int:
+    """Highest iteration number recorded in ``metrics.jsonl`` (0 when none).
+    Drives resume continuity: a restarted run picks up at the next iteration
+    with monotone numbering in the SAME metrics file, instead of restarting
+    its counter (reference resume semantics, Coach.py:175-208)."""
+    import json
+    path = os.path.join(checkpoint_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return 0
+    done = 0
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                done = max(done, int(json.loads(line).get("iter", 0)))
+            except (ValueError, KeyError):
+                continue
+    return done
+
+
 @dataclasses.dataclass
 class CoachConfig:
     num_players: int = 2
@@ -239,13 +261,18 @@ class Coach:
 
     def eval_vs_baselines(self) -> dict:
         """Pit the current net (gate search, temp=0) against the random and
-        greedy baselines, both seat orders, returning winrates (draws count
-        0.5).  This is the learning-curve probe the reference demonstrates
-        via pit.py runs (README.md:97, SplendorPlayers.py:18-115)."""
+        greedy baselines, the net rotating through every seat (N-player
+        generalization of the reference's 1-2/2-1 alternation), returning
+        winrates with draws counted 0.5.  NOTE: with N > 2 the net faces
+        N-1 baseline opponents at once, so an equal-strength agent scores
+        the fair share 1/N, not 0.5 — the probe reports that baseline as
+        ``eval_fair_share`` so curves are comparable across player counts.
+        This is the learning-curve probe the reference demonstrates via
+        pit.py runs (README.md:97, SplendorPlayers.py:18-115)."""
         cfg = self.cfg
-        half = max(cfg.eval_baseline_games // 2, 1)
+        per_seat = max(cfg.eval_baseline_games // cfg.num_players, 1)
         if self._eval_arena is None:
-            self._eval_arena = AR.BatchArena(self.env_cfg, half)
+            self._eval_arena = AR.BatchArena(self.env_cfg, per_seat)
             self._greedy_agent = AR.make_greedy_agent(self.env_cfg)
             self._random_agent = AR.make_random_agent(self._eval_arena.valids)
             eval_sims = (cfg.eval_num_sims or cfg.gate_num_sims
@@ -277,6 +304,9 @@ class Coach:
             out[f"losses_vs_{name}"] = l
             out[f"draws_vs_{name}"] = d
             out[f"winrate_vs_{name}"] = (w + 0.5 * d) / max(w + l + d, 1)
+        # an equal-strength agent vs N-1 baselines wins ~1/N of games — log
+        # the fair share so 3P/4P curves read correctly next to 2P ones
+        out["eval_fair_share"] = 1.0 / n
         return out
 
     def _append_metrics(self, record: dict):
@@ -289,11 +319,27 @@ class Coach:
         with open(path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
-    def learn(self, on_iteration=None):
+    def learn(self, on_iteration=None, start_iter: int = 1):
+        """Run iterations ``start_iter .. num_iters`` (``num_iters`` is the
+        TOTAL budget, so a resumed run continues the same monotone iteration
+        numbering in one metrics.jsonl — reference resume parity,
+        Coach.py:175-208 + main.py:62-80).  ``start_iter`` is normally
+        inferred from metrics.jsonl via ``completed_iterations``."""
         cfg = self.cfg
+        if start_iter > cfg.num_iters:
+            log.info("run already complete (%d/%d iterations)",
+                     start_iter - 1, cfg.num_iters)
+            return
+        if start_iter > 1:
+            # de-correlate the resumed segment from a fresh run's key walk
+            # (without this, iteration k after a restart replays iteration
+            # 1's randomness)
+            self.key = jax.random.fold_in(self.key, start_iter)
+            self.np_rng = np.random.default_rng(
+                np.random.SeedSequence([cfg.seed, start_iter]))
         CKPT.save_settings(cfg.checkpoint_dir, dataclasses.asdict(cfg))
         CKPT.save_code_snapshot(cfg.checkpoint_dir)
-        for it in range(1, cfg.num_iters + 1):
+        for it in range(start_iter, cfg.num_iters + 1):
             t_iter = time.time()
             log.info("Iter %d: self-play...", it)
             sp_stats = self.self_play_iteration()

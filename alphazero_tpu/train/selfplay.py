@@ -61,6 +61,13 @@ class SelfPlayConfig:
     # the backup's HBM traffic but requires tree capacity <= 256 (exact
     # integer counts) — see MCTSConfig.stats_dtype
     stats_dtype: str = "float32"
+    # --- class-2 reuse-corruption investigation levers (docs/PERF.md) ---
+    # donate the fused-chunk carry (tree buffers reused in place by XLA);
+    # False forces fresh output buffers every chunk call
+    donate_chunk: bool = True
+    # insert jax.lax.optimization_barrier between the reroot's whole-tree
+    # compaction gathers and the next search that consumes them
+    reuse_barrier: bool = False
 
 
 class SelfPlayEngine:
@@ -277,6 +284,12 @@ class SelfPlayEngine:
                     # collapse (or that resolved a noble ply) fall back to a
                     # fresh root automatically via the state-match check
                     tree, nn_t = rs_full.reroot(tree, actions, states2)
+                    if cfg.reuse_barrier:
+                        # keep XLA from fusing/aliasing the reroot's
+                        # whole-tree compaction gathers with the next
+                        # iteration's consumers (class-2 investigation)
+                        tree, nn_t = jax.lax.optimization_barrier(
+                            (tree, nn_t))
                     next_carry = (states2, offset2, move + 1, done | newly,
                                   results, tree, nn_t)
                 else:
@@ -287,7 +300,8 @@ class SelfPlayEngine:
             return jax.lax.scan(body, carry0,
                                 jax.random.split(key, cfg.chunk_moves))
 
-        self.chunk = jax.jit(_chunk, donate_argnums=(1,))
+        self.chunk = jax.jit(
+            _chunk, donate_argnums=(1,) if cfg.donate_chunk else ())
 
     def run_games(self, params_bundle, key, np_rng: np.random.Generator,
                   collect: bool = True):

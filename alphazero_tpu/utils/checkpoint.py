@@ -141,14 +141,27 @@ def transfer_partial(loaded_params, target_params):
 
 
 def save_settings(folder: str, settings: dict):
-    """settings.txt snapshot + diff support (reference main.py:53-80)."""
+    """settings.txt snapshot + diff support (reference main.py:53-80).
+
+    ``settings.json`` always holds the CURRENT settings; when a resume
+    changes them, the superseded version is preserved as ``settings_vN.json``
+    (monotone N) so a multi-segment run stays auditable — nothing is
+    silently overwritten.  Identical re-saves (the common crash-restart
+    case) write nothing new."""
     os.makedirs(folder, exist_ok=True)
     path = os.path.join(folder, "settings.json")
+    new_text = json.dumps(settings, indent=2, default=str)
     if os.path.exists(path):
-        import time
-        os.replace(path, path + "." + str(int(time.time())))
+        with open(path) as f:
+            old_text = f.read()
+        if old_text == new_text:
+            return
+        n = 1
+        while os.path.exists(os.path.join(folder, f"settings_v{n}.json")):
+            n += 1
+        os.replace(path, os.path.join(folder, f"settings_v{n}.json"))
     with open(path, "w") as f:
-        json.dump(settings, f, indent=2, default=str)
+        f.write(new_text)
 
 
 def compare_settings(folder: str, settings: dict,
