@@ -149,7 +149,8 @@ def _batched_agent(spec: str, env_cfg, args, closers: list):
     if spec == "alphabeta":
         from ..eval.ab_pool import AlphaBetaPool
         pool = AlphaBetaPool(env_cfg.num_players, depth=args.ab_depth,
-                             deadline_s=args.ab_deadline)
+                             deadline_s=args.ab_deadline,
+                             value_ckpt=args.ab_value_ckpt)
         closers.append(pool.close)
         return pool.agent
     # checkpoint path -> batched NN+MCTS (temp=0, full search — the
@@ -189,6 +190,13 @@ def play_batched(args):
     n = args.numPlayers
     env_cfg = E.SplendorConfig(num_players=n)
     per_seat = max(args.num_games // n, 1)
+    if "alphabeta" in args.players and not args.ab_value_ckpt:
+        # reference parity: alphabeta's leaf eval defaults to the NN
+        # opponent's own value head (pit.py:71-72)
+        others = [s for s in args.players if os.path.exists(s)]
+        if others:
+            args.ab_value_ckpt = others[0]
+            log.info("alphabeta leaf values from %s", others[0])
     closers: list = []
     a_main = _batched_agent(args.players[0], env_cfg, args, closers)
     a_opp = _batched_agent(args.players[1], env_cfg, args, closers)
@@ -221,19 +229,88 @@ def play_batched(args):
     return out
 
 
+def _tournament_paths(args):
+    import glob
+    import time
+    paths = sorted(set(
+        glob.glob(os.path.join(args.tournament, "**", "best*.pt"),
+                  recursive=True)
+        + glob.glob(os.path.join(args.tournament, "**", "checkpoint_*.pt"),
+                    recursive=True)))
+    if args.max_age_hours is not None:
+        cutoff = time.time() - args.max_age_hours * 3600
+        paths = [p for p in paths if os.stat(p).st_mtime >= cutoff]
+    return paths
+
+
+def run_tournament_batched(args):
+    """Device-batched round-robin: ONE compiled search serves every
+    checkpoint (bundles are exchangeable pytrees), each pair playing
+    ``num_games`` split across both seat orders in lockstep sub-batches.
+    Replaces the reference's multi-console sharding (pit.py:122-154) with
+    on-device batching; Glicko-2 bookkeeping as in pit.py:156-199."""
+    import itertools
+    import jax
+    import jax.numpy as jnp
+    from ..eval import arena as AR
+    from ..games.splendor import adapter as A
+    from ..games.splendor import env as E
+    from ..search import mcts as M
+    from ..utils import checkpoint as CKPT
+
+    paths = _tournament_paths(args)
+    if len(paths) < 2:
+        print(f"need >=2 checkpoints under {args.tournament}, "
+              f"found {len(paths)}")
+        return
+    print(f"tournament (batched): {len(paths)} checkpoints")
+    env_cfg = E.SplendorConfig(num_players=args.numPlayers)
+    net_cfg = A.net_config_for(env_cfg)
+    sims = args.numMCTSSims or 200
+    search = jax.jit(M.build_search(
+        M.MCTSConfig(num_sims=sims), env_cfg.num_players,
+        A.make_eval_fn(net_cfg), A.make_search_step_fn(env_cfg),
+        A.make_valid_fn(env_cfg)))
+
+    def bundle(path):
+        ck = CKPT.load_checkpoint(os.path.dirname(path) or ".",
+                                  os.path.basename(path))
+        return (jax.tree_util.tree_map(jnp.asarray, ck["params"]),
+                jax.tree_util.tree_map(jnp.asarray, ck["batch_stats"]))
+
+    half = max(args.num_games // 2, 1)
+    arena = AR.BatchArena(env_cfg, half)
+    from ..eval.glicko2 import RatingBook
+    book = (RatingBook.load(args.ratings) if args.ratings else None)
+    key = jax.random.PRNGKey(args.seed)
+    for pa, pb in itertools.combinations(paths, 2):
+        aa = AR.make_search_agent(search, bundle(pa))
+        ab = AR.make_search_agent(search, bundle(pb))
+        key, k1, k2 = jax.random.split(key, 3)
+        w1, d1 = arena.play([aa, ab], k1).tally([0, 1])
+        w2, d2 = arena.play([ab, aa], k2).tally([1, 0])
+        wins = [w1[0] + w2[0], w1[1] + w2[1]]
+        draws = d1 + d2
+        na = os.path.relpath(pa, args.tournament)
+        nb = os.path.relpath(pb, args.tournament)
+        print(f"{na} vs {nb}: {wins} draws={draws}", flush=True)
+        if book is not None:
+            total = wins[0] + wins[1] + draws
+            book.record_match(na, nb, (wins[0] + 0.5 * draws) / max(total, 1))
+            book.save()
+    if book is not None:
+        for name, r in sorted(book.ratings.items(),
+                              key=lambda kv: -kv[1].rating):
+            print(f"{r.rating:7.1f} +-{r.rd:5.1f}  {name}")
+
+
 def run_tournament(game, args):
     """Round-robin of recent checkpoints with Glicko-2 bookkeeping
     (reference pit.py:115-201 play_age/update_ratings — the reference's
     multi-console process sharding is replaced by one batched process)."""
-    import glob
     import itertools
-    import time
 
-    paths = sorted(glob.glob(os.path.join(args.tournament, "**", "best*.pt"),
-                             recursive=True))
-    if args.max_age_hours is not None:
-        cutoff = time.time() - args.max_age_hours * 3600
-        paths = [p for p in paths if os.stat(p).st_mtime >= cutoff]
+    paths = _tournament_paths(args)
     if len(paths) < 2:
         print(f"need >=2 checkpoints under {args.tournament}, found {len(paths)}")
         return
@@ -256,14 +333,31 @@ def run_tournament(game, args):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    # honor JAX_PLATFORMS even under the axon sitecustomize, which
+    # force-registers the TPU plugin and ignores the env var — lets the
+    # whole pit (NN search included) run host-side, freeing the chip
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     p = argparse.ArgumentParser(description="pit agents")
-    p.add_argument("players", nargs="+",
-                   help="2+ agent specs: random|greedy|alphabeta|human|ckpt")
+    p.add_argument("players", nargs="*",
+                   help="2+ agent specs: random|greedy|alphabeta|human|ckpt "
+                        "(omit with --tournament)")
     p.add_argument("--num-games", "-n", type=int, default=10)
     p.add_argument("--numMCTSSims", "-m", type=int, default=0)
     p.add_argument("--numPlayers", "-np", type=int, default=2)
-    p.add_argument("--ab-depth", type=int, default=4)
-    p.add_argument("--ab-deadline", type=float, default=10.0)
+    p.add_argument("--ab-depth", type=int, default=6,
+                   help="alphabeta search depth (reference DEFAULT_DEPTH=6, "
+                        "SplendorPlayers.py:16)")
+    p.add_argument("--ab-deadline", type=float, default=10.0,
+                   help="alphabeta per-move wall-clock budget in seconds "
+                        "(reference MAX_SEARCH_TIME=10, "
+                        "SplendorPlayers.py:15)")
+    p.add_argument("--ab-value-ckpt", default=None,
+                   help="checkpoint whose value head evaluates alphabeta "
+                        "leaves (reference valueFuncNN; --batched defaults "
+                        "to the NN opponent's checkpoint, else heuristic)")
     p.add_argument("--record-dir", default=None)
     p.add_argument("--ratings", default=None,
                    help="path to a glicko2 JSON book to update")
@@ -283,6 +377,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
+    if not args.tournament and len(args.players) < 2:
+        p.error("need at least 2 agent specs (or --tournament DIR)")
+    if args.batched and args.tournament:
+        return run_tournament_batched(args)
     if args.batched:
         if len(args.players) != 2:
             p.error("--batched takes exactly 2 agent specs")

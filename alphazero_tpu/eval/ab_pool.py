@@ -21,7 +21,8 @@ import numpy as np
 _G: dict = {}
 
 
-def _init_worker(num_players: int, depth: int, deadline_s: float):
+def _init_worker(num_players: int, depth: int, deadline_s: float,
+                 value_ckpt: str | None = None):
     # Must run before any JAX device use in the child: pin the platform to
     # CPU both ways (the axon sitecustomize force-registers the TPU plugin
     # and ignores the env var alone — same dance as tests/conftest.py).
@@ -32,7 +33,37 @@ def _init_worker(num_players: int, depth: int, deadline_s: float):
     from . import players as P
     game = SplendorGame(num_players)
     _G["game"] = game
-    _G["player"] = P.AlphaBetaPlayer(game, depth=depth, deadline_s=deadline_s)
+    value_fn = None
+    if value_ckpt:
+        # reference AlphaBetaPlayer evaluates leaves with the NN value head
+        # (valueFuncNN, SplendorPlayers.py:177-181; pit.py:71-72 passes the
+        # NN player's own net in) — load the same checkpoint in each worker
+        import jax.numpy as jnp
+        from ..games.splendor import adapter as A
+        from ..games.splendor import env as E
+        from ..models import splendor_net as N
+        from ..utils import checkpoint as C
+        env_cfg = E.SplendorConfig(num_players=num_players)
+        net_cfg = A.net_config_for(env_cfg)
+        params, _ = N.init_params(net_cfg, jax.random.PRNGKey(0))
+        ck = C.load_network(os.path.dirname(value_ckpt) or ".",
+                           os.path.basename(value_ckpt), params)
+        bundle = (jax.tree_util.tree_map(jnp.asarray, ck["params"]),
+                  jax.tree_util.tree_map(jnp.asarray, ck["batch_stats"]))
+        eval_fn = A.make_eval_fn(net_cfg)
+        valid_fn = A.make_valid_fn(env_cfg)
+
+        @jax.jit
+        def _v(state):
+            valid = valid_fn(state)
+            _, v = eval_fn(bundle, state[None].astype(jnp.float32),
+                           valid[None])
+            return v[0, 0]
+
+        value_fn = lambda board: float(_v(jnp.asarray(board)))  # noqa: E731
+        value_fn(game.getInitBoard())          # warm the jit
+    _G["player"] = P.AlphaBetaPlayer(game, depth=depth, deadline_s=deadline_s,
+                                     value_fn=value_fn)
     # warm the jitted engine entry points so the first real move's deadline
     # is not spent compiling
     b = game.getInitBoard()
@@ -57,12 +88,14 @@ class AlphaBetaPool:
     ``agent(canonical_states [B,R,7], key) -> actions [B]``."""
 
     def __init__(self, num_players: int, depth: int = 6,
-                 deadline_s: float = 10.0, workers: int | None = None):
+                 deadline_s: float = 10.0, workers: int | None = None,
+                 value_ckpt: str | None = None):
         import multiprocessing as mp
         self.workers = workers or max(os.cpu_count() or 2, 1)
         ctx = mp.get_context("spawn")
         self.pool = ctx.Pool(self.workers, initializer=_init_worker,
-                             initargs=(num_players, depth, deadline_s))
+                             initargs=(num_players, depth, deadline_s,
+                                       value_ckpt))
 
     def agent(self, canon, key):
         boards = np.asarray(canon)

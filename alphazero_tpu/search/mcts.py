@@ -111,6 +111,15 @@ class MCTSConfig:
     # reached at the cap as the leaf (its NN value is re-backed-up, no
     # expansion) — the same bounded-depth policy as mctx's max_depth.
     max_depth: int = 0
+    # Tree levels processed per while_loop iteration during descent.  The
+    # gathers are serially dependent either way (each level's row index
+    # comes from the previous level's child pointer), but every while_loop
+    # iteration pays fixed overhead (condition reduction + dispatch + path
+    # bookkeeping) on top of the ~70us HBM-latency-bound row gather, so
+    # unrolling U levels into one body amortizes that overhead U-fold.
+    # Semantically EXACT — the unrolled body is the same per-level function
+    # applied U times (tests/test_mcts.py locks unroll==1 equivalence).
+    descent_unroll: int = 2
     # Historical flag for the Pallas fused-backup kernel
     # (ops/fused_backup.py).  The kernel targets the pre-packed split
     # stats/node_sc layout and measured slower than the XLA einsum on v5e
@@ -168,7 +177,12 @@ StepFn = Callable[..., tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
 
 
 def _mm_dtype():
-    """bf16 one-hot matmuls on TPU; CPU's dot thunk lacks BF16xBF16=F32."""
+    """bf16 one-hot matmuls on TPU; CPU's dot thunk lacks BF16xBF16=F32.
+    AZTPU_MM_DTYPE overrides (diagnostic lever, docs/PERF.md class-2)."""
+    import os
+    ov = os.environ.get("AZTPU_MM_DTYPE")
+    if ov:
+        return jnp.dtype(ov)
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
@@ -241,12 +255,22 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
     width) bounds the descent; the node reached at the cap is treated as the
     leaf."""
     B, M, _, A = tree.stats.shape
+    PL = path_p.shape[1]
+    U = max(int(cfg.descent_unroll), 1)
+    if U > 1:
+        # scratch columns for the unrolled sub-levels that run after every
+        # board has stopped (they record only drop-sentinels, see below)
+        pad = jnp.zeros((B, U - 1), jnp.int32)
+        path_p = jnp.concatenate([path_p, jnp.full((B, U - 1), M,
+                                                   jnp.int32)], 1)
+        path_a = jnp.concatenate([path_a, pad], 1)
+        path_r = jnp.concatenate([path_r, pad], 1)
     zeros = jnp.zeros((B,), jnp.int32)
 
     def cond(c):
         return ~c[3].all()
 
-    def body(c):
+    def one_level(c):
         (node, parent, action, stop, depth, level, path_p, path_a, path_r,
          existing, prot) = c
         row = _row(tree.stats, node)                       # [B, 4, A+2]
@@ -272,7 +296,10 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
         # re-evaluated and backed up, never expanded further this sim)
         now_stop = (child == 0) | term_c | (level >= depth_cap - 1)
 
-        # record the traversed edge for boards still descending
+        # record the traversed edge for boards still descending.  The
+        # deepest possible REAL record sits at column depth_cap-1 (stop is
+        # forced there); unrolled sub-levels past it write sentinel-only
+        # rows into the scratch columns, which are sliced off below.
         rec_p = jnp.where(stop, M, node)       # M = one-hot drop sentinel
         rec_a = jnp.where(stop, 0, a)
         rec_r = jnp.where(stop, 0, rot)
@@ -292,12 +319,18 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
         return (nxt, parent, action, stop | now_stop, depth,
                 level + 1, path_p, path_a, path_r, existing, prot)
 
+    def body(c):
+        for _ in range(U):
+            c = one_level(c)
+        return c
+
     init = (zeros, zeros, zeros, jnp.zeros((B,), jnp.bool_), zeros,
             jnp.int32(0), path_p, path_a, path_r, zeros, zeros)
     out = jax.lax.while_loop(cond, body, init)
     (_, parent, action, _, depth, _, path_p, path_a, path_r, existing,
      prot) = out
-    return parent, action, existing, depth, prot, path_p, path_a, path_r
+    return (parent, action, existing, depth, prot,
+            path_p[:, :PL], path_a[:, :PL], path_r[:, :PL])
 
 
 def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,

@@ -361,10 +361,23 @@ class SelfPlayEngine:
                     bad = counts * ~vm
                     if bad.any():
                         import logging
+                        import os as _os
                         logging.getLogger(__name__).warning(
                             "masking %d root visits on invalid actions "
                             "across %d examples", int(bad.sum()),
                             int((bad.sum(1) > 0).sum()))
+                        dump = _os.environ.get("AZTPU_DEBUG_BAD")
+                        if dump and not getattr(self, "_bad_dumped", False):
+                            # one-shot forensic snapshot of the first corrupt
+                            # wave (class-2 investigation, docs/PERF.md):
+                            # boards + FULL batch context so the analyzer can
+                            # test row-permutation hypotheses
+                            self._bad_dumped = True
+                            np.savez_compressed(
+                                dump, t=t, idx=idx,
+                                boards=canon_t, counts=counts_t,
+                                valids=valids_t, q=q_t,
+                                alive=alive_t, full=full_t)
                         counts = counts * vm
                         # a row whose EVERY visited action was invalid has no
                         # usable policy target, and its board/value came from

@@ -22,10 +22,13 @@ def load(run_dir):
         for line in f:
             if line.strip():
                 rows.append(json.loads(line))
-    # a crash-restarted run (cli/train_resilient) restarts the coach's local
-    # iteration numbering; the cumulative record index is the true iteration
-    for i, r in enumerate(rows):
-        r["iter"] = i + 1
+    # legacy runs (pre resume-continuity) restarted the coach's iteration
+    # numbering on every crash-restart; fall back to the cumulative record
+    # index only when the recorded sequence is not strictly increasing
+    its = [r.get("iter", 0) for r in rows]
+    if any(b <= a for a, b in zip(its, its[1:])):
+        for i, r in enumerate(rows):
+            r["iter"] = i + 1
     return rows
 
 
@@ -64,7 +67,13 @@ def plot(rows, out_path):
     ax.plot(accepted, [-0.04] * len(accepted), ls="none", marker="^", ms=5,
             color=AQUA, label="gate accepted")
 
-    ax.axhline(0.5, color=INK2, lw=0.8, ls=(0, (3, 3)), alpha=0.5)
+    # equal-strength reference: 1 net vs N-1 baselines scores 1/N, not 0.5
+    fair = rows[-1].get("eval_fair_share", 0.5) if rows else 0.5
+    ax.axhline(fair, color=INK2, lw=0.8, ls=(0, (3, 3)), alpha=0.5)
+    ax.annotate(f"fair share {fair:.2f}", (0.01, fair),
+                xycoords=("axes fraction", "data"),
+                textcoords="offset points", xytext=(0, 3),
+                color=INK2, fontsize=7)
     ax.set_ylim(-0.08, 1.02)
     ax.set_xlabel("training iteration", color=INK2)
     ax.set_ylabel("arena winrate (draws = 0.5)", color=INK2)

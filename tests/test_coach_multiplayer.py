@@ -15,7 +15,7 @@ def test_three_player_learn_iteration(tmp_path):
                       selfplay_batch=4, num_sims=8, ratio_full=2,
                       prob_full=0.5, arena_games=3, gate_num_sims=6,
                       epochs=1, batch_size=8,
-                      eval_baseline_games=4, eval_num_sims=6,
+                      eval_baseline_games=6, eval_num_sims=6,
                       checkpoint_dir=str(tmp_path), seed=3)
     coach = Coach(cfg)
     seen = {}
@@ -28,9 +28,10 @@ def test_three_player_learn_iteration(tmp_path):
     assert np.isfinite(seen["metrics"]["loss"])
     nw, ow, dr = seen["gate"]
     assert nw + ow + dr == 3   # one game per seat rotation
-    # N-player baseline probe: net rotated through all 3 seats, 2 games per
-    # seat (regression: eval_vs_baselines used to hardcode 2 agents and
-    # crash on a 3-player env)
+    # N-player baseline probe: net rotated through all 3 seats, with
+    # eval_baseline_games // num_players games per seat (advisor r3 fix —
+    # the old //2 formula overplayed N>2 configs) and the 1/N fair-share
+    # reference recorded next to the winrates
     import json
     import os
     rec = json.loads(open(os.path.join(str(tmp_path), "metrics.jsonl"))
@@ -38,5 +39,6 @@ def test_three_player_learn_iteration(tmp_path):
     for nm in ("random", "greedy"):
         tot = (rec[f"wins_vs_{nm}"] + rec[f"losses_vs_{nm}"]
                + rec[f"draws_vs_{nm}"])
-        assert tot == 6
+        assert tot == 6   # (6 // 3 players) games per seat x 3 seats
         assert 0.0 <= rec[f"winrate_vs_{nm}"] <= 1.0
+    assert abs(rec["eval_fair_share"] - 1 / 3) < 1e-9

@@ -138,3 +138,26 @@ def test_terminal_backup(setup):
     res = search(None, jnp.asarray(stc)[None], jax.random.PRNGKey(0))
     # opponent (absolute player 0) wins regardless -> q for mover ~ -1
     assert float(np.asarray(res.q)[0, 0]) < -0.9
+
+
+def test_descent_unroll_is_exact(setup):
+    """descent_unroll is a pure loop restructure: results must be
+    bit-identical to the single-level descent at every unroll factor,
+    including with a depth cap (where the unrolled scratch columns must
+    not clobber the deepest real path record)."""
+    cfg, eval_fn, step_fn, valid_fn = setup
+    roots = _roots(cfg, 6, seed=4)
+    for extra in ({}, {"max_depth": 4}, {"forced_playouts": True}):
+        base = jax.jit(M.build_search(
+            M.MCTSConfig(num_sims=24, descent_unroll=1, **extra),
+            2, eval_fn, step_fn, valid_fn))
+        res1 = base(None, roots, jax.random.PRNGKey(7))
+        for u in (2, 3):
+            s_u = jax.jit(M.build_search(
+                M.MCTSConfig(num_sims=24, descent_unroll=u, **extra),
+                2, eval_fn, step_fn, valid_fn))
+            res_u = s_u(None, roots, jax.random.PRNGKey(7))
+            np.testing.assert_array_equal(np.asarray(res1.raw_counts),
+                                          np.asarray(res_u.raw_counts))
+            np.testing.assert_allclose(np.asarray(res1.q),
+                                       np.asarray(res_u.q), atol=1e-6)
