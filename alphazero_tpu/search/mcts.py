@@ -265,6 +265,8 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
                                                    jnp.int32)], 1)
         path_a = jnp.concatenate([path_a, pad], 1)
         path_r = jnp.concatenate([path_r, pad], 1)
+    # level-major [PL, B] layout inside the loop (see the write-site note)
+    path_p, path_a, path_r = path_p.T, path_a.T, path_r.T
     zeros = jnp.zeros((B,), jnp.int32)
 
     def cond(c):
@@ -300,15 +302,25 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
         # deepest possible REAL record sits at column depth_cap-1 (stop is
         # forced there); unrolled sub-levels past it write sentinel-only
         # rows into the scratch columns, which are sliced off below.
+        #
+        # The write is a one-hot masked select, NOT dynamic-update-slice:
+        # DUS at the traced ``level`` index on these while-carried buffers
+        # MISCOMPILES on TPU at some shapes — the level-1 record lands one
+        # simulation LATE (the backup einsum then reads the previous sim's
+        # row => edge visits on nodes the path never touched, the class-2
+        # "invalid root visits" corruption; forensics in docs/PERF.md).
+        # The select lowers to pure dataflow and dodges XLA's in-place DUS
+        # path entirely; cost is identical (the buffers are a few hundred
+        # KB and every mutation rewrites them anyway).
         rec_p = jnp.where(stop, M, node)       # M = one-hot drop sentinel
         rec_a = jnp.where(stop, 0, a)
         rec_r = jnp.where(stop, 0, rot)
         path_p = jax.lax.dynamic_update_slice_in_dim(
-            path_p, rec_p[:, None], level, axis=1)
+            path_p, rec_p[None, :], level, axis=0)
         path_a = jax.lax.dynamic_update_slice_in_dim(
-            path_a, rec_a[:, None], level, axis=1)
+            path_a, rec_a[None, :], level, axis=0)
         path_r = jax.lax.dynamic_update_slice_in_dim(
-            path_r, rec_r[:, None], level, axis=1)
+            path_r, rec_r[None, :], level, axis=0)
         depth = depth + (~stop).astype(jnp.int32)
 
         parent = jnp.where(stop, parent, node)
@@ -330,7 +342,7 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
     (_, parent, action, _, depth, _, path_p, path_a, path_r, existing,
      prot) = out
     return (parent, action, existing, depth, prot,
-            path_p[:, :PL], path_a[:, :PL], path_r[:, :PL])
+            path_p.T[:, :PL], path_a.T[:, :PL], path_r.T[:, :PL])
 
 
 def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
@@ -422,22 +434,38 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
     pp = jnp.concatenate([jnp.where(mask, path_p, M),
                           parent[:, None], parent[:, None]], 1)      # [B,S+2]
     pa = jnp.concatenate([path_a, action[:, None], action[:, None]], 1)
-    w = jnp.zeros((B, S + 2, 3), mmt)\
-        .at[:, :S, _EN - 1].set(mask.astype(mmt))\
-        .at[:, :S, _EW - 1].set(v_l.astype(mmt))\
-        .at[:, S, _CHILD - 1].set(inst_lo.astype(mmt))\
-        .at[:, S + 1, _CHILD - 1].set(inst_hi.astype(mmt))
     onehot_pp = jax.nn.one_hot(pp, M, dtype=mmt)                     # [B,S+2,M]
     # two-hot action rows: backup levels hit their action column AND the
     # node column A; the install levels (S, S+1) stay one-hot so the
     # pointer lands only on its edge column
     act_hot = jax.nn.one_hot(pa, A2, dtype=mmt)                      # [B,S+2,A+2]
-    act_hot = act_hot.at[:, :S, A].add(1)
-    va = act_hot[:, :, None, :] * w[..., None]                       # [B,S+2,3,A+2]
-    delta3 = jnp.einsum("bsm,bsva->bmva", onehot_pp, va,
-                        preferred_element_type=jnp.float32)          # [B,M,3,A+2]
-    delta = jnp.concatenate(
-        [jnp.zeros((B, M, 1, A2), sdt), delta3.astype(sdt)], axis=2)
+    act2 = act_hot.at[:, :S, A].add(1)
+
+    # The delta is computed as THREE per-lane batched matmuls
+    # (bsm,bsa->bma), one per live lane, each with its per-level weights
+    # folded into the pp one-hot.  DO NOT fold the lanes into a single
+    # 4-D contraction (bsm,bsva->bmva): that einsum MISCOMPILES on
+    # XLA:TPU at these shapes — a fraction of level contributions land on
+    # the WRONG tree row (verified deterministic, dtype-independent;
+    # per-lane form is exact at every shape tested).  Forensics and the
+    # minimal discriminating experiment are recorded in docs/PERF.md
+    # ("class-2" corruption); regression-locked by
+    # tests/test_mcts.py invariants + scripts/reuse_repro.py on hardware.
+    zeros2 = jnp.zeros((B, 2), mmt)
+    w_en = jnp.concatenate([mask.astype(mmt), zeros2], 1)            # [B,S+2]
+    w_ew = jnp.concatenate([v_l.astype(mmt), zeros2], 1)
+    w_ch = jnp.concatenate([jnp.zeros((B, S), mmt),
+                            inst_lo.astype(mmt)[:, None],
+                            inst_hi.astype(mmt)[:, None]], 1)
+
+    def lane_delta(w, ah):
+        return jnp.einsum("bsm,bsa->bma", onehot_pp * w[:, :, None], ah,
+                          preferred_element_type=jnp.float32)        # [B,M,A+2]
+
+    delta = jnp.stack([jnp.zeros((B, M, A2), jnp.float32),
+                       lane_delta(w_ch, act_hot),
+                       lane_delta(w_en, act2),
+                       lane_delta(w_ew, act2)], axis=2).astype(sdt)
 
     # expanded node's full row: broadcast outer product, fused into the add
     content = jnp.zeros((B, 4, A2), jnp.float32)\

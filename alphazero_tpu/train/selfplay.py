@@ -68,6 +68,9 @@ class SelfPlayConfig:
     # insert jax.lax.optimization_barrier between the reroot's whole-tree
     # compaction gathers and the next search that consumes them
     reuse_barrier: bool = False
+    # emit per-wave tree-root state + post-search root prior-validity as
+    # extra scan outputs (forensic dump channel for AZTPU_DEBUG_BAD)
+    debug_outputs: bool = False
 
 
 class SelfPlayEngine:
@@ -278,6 +281,13 @@ class SelfPlayEngine:
                 results = jnp.where(newly[:, None], ends, results)
                 out = (states, counts, valids, q, offset,
                        ~done, is_full_b)
+                if cfg.debug_outputs and cfg.tree_reuse:
+                    # forensic channel: the search's OWN view of the root —
+                    # its stored state and which actions its (refreshed)
+                    # prior lane considers valid after this wave's search
+                    A_ = counts.shape[-1]
+                    out = out + (tree.states[:, 0],
+                                 tree.stats[:, 0, M._PVALID, :A_] >= 0)
                 if cfg.tree_reuse:
                     # re-root every board's tree on the played action; boards
                     # whose real chance draw diverged from the in-tree
@@ -340,8 +350,8 @@ class SelfPlayEngine:
             key, kc = jax.random.split(key)
             carry, outs = self.chunk(params_bundle, carry, kc)
             states, offset, move, done, results = carry[:5]
-            canon_t, counts_t, valids_t, q_t, player_t, alive_t, full_t = (
-                np.asarray(o) for o in outs)
+            (canon_t, counts_t, valids_t, q_t, player_t, alive_t, full_t,
+             *dbg) = (np.asarray(o) for o in outs)
             total_moves += int(alive_t.sum())
             total_sims += (int((alive_t & full_t).sum()) * cfg.num_sims
                            + int((alive_t & ~full_t).sum()) * fast_sims)
@@ -373,11 +383,14 @@ class SelfPlayEngine:
                             # boards + FULL batch context so the analyzer can
                             # test row-permutation hypotheses
                             self._bad_dumped = True
+                            extra = ({"root_states": dbg[0],
+                                      "root_pv_valid": dbg[1]}
+                                     if dbg else {})
                             np.savez_compressed(
                                 dump, t=t, idx=idx,
                                 boards=canon_t, counts=counts_t,
                                 valids=valids_t, q=q_t,
-                                alive=alive_t, full=full_t)
+                                alive=alive_t, full=full_t, **extra)
                         counts = counts * vm
                         # a row whose EVERY visited action was invalid has no
                         # usable policy target, and its board/value came from

@@ -40,30 +40,36 @@ def _time_reps(fn, reps):
 
 
 def _pin_probes(reps=3):
-    """Fixed hardware measurements independent of the framework code."""
-    # MXU: 4096^3 bf16 matmul, 8 chained on device
-    a = jnp.ones((4096, 4096), jnp.bfloat16)
+    """Fixed hardware measurements independent of the framework code.
+    Loop bodies are data-dependent and non-collapsible (a plain ``v + 1``
+    chain gets algebraically folded into one pass, inflating the figure)."""
+    key = jax.random.PRNGKey(7)
+    # MXU: 4096^3 bf16 matmuls, 8 serially dependent
+    a = (jax.random.normal(key, (4096, 4096), jnp.float32) * 1e-2)\
+        .astype(jnp.bfloat16)
 
     @jax.jit
     def mm(a):
         def body(_, x):
-            return jnp.dot(x, x, preferred_element_type=jnp.bfloat16)
+            y = jnp.dot(x, x, preferred_element_type=jnp.float32)
+            return (y * (1.0 / jnp.maximum(jnp.abs(y).max(), 1e-6)))\
+                .astype(jnp.bfloat16)
         return jax.lax.fori_loop(0, 8, body, a)
 
     t = min(_time_reps(lambda: jax.block_until_ready(mm(a)), reps))
     tflops = 8 * 2 * 4096 ** 3 / t / 1e12
 
-    # HBM: stream add over 256 MiB operands, 8 chained
-    x = jnp.ones((64, 1024, 1024), jnp.float32)
+    # HBM: 16 serially dependent full passes over a 256 MiB buffer
+    x = jax.random.normal(key, (64, 1024, 1024), jnp.float32)
 
     @jax.jit
     def stream(x):
-        def body(_, v):
-            return v + 1.0
-        return jax.lax.fori_loop(0, 8, body, x)
+        def body(i, v):
+            return v * 1.0000001 + i.astype(jnp.float32)
+        return jax.lax.fori_loop(0, 16, body, x)
 
     t = min(_time_reps(lambda: jax.block_until_ready(stream(x)), reps))
-    gbps = 8 * 2 * x.size * 4 / t / 1e9        # read + write per pass
+    gbps = 16 * 2 * x.size * 4 / t / 1e9       # read + write per pass
     return round(tflops, 1), round(gbps, 1)
 
 

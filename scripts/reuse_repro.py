@@ -57,7 +57,8 @@ def main():
         prob_full=1.0 if mode == "fullonly" else 0.25,
         temp_threshold=10, forced_playouts=True, tree_reuse=reuse,
         donate_chunk=mode not in ("nodonate", "both"),
-        reuse_barrier=mode in ("barrier", "both"))
+        reuse_barrier=mode in ("barrier", "both"),
+        debug_outputs=bool(os.environ.get("AZTPU_DEBUG_BAD")))
 
     env_cfg = E.SplendorConfig(num_players=2)
     net_cfg = A.net_config_for(env_cfg)
