@@ -302,16 +302,8 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
         # deepest possible REAL record sits at column depth_cap-1 (stop is
         # forced there); unrolled sub-levels past it write sentinel-only
         # rows into the scratch columns, which are sliced off below.
-        #
-        # The write is a one-hot masked select, NOT dynamic-update-slice:
-        # DUS at the traced ``level`` index on these while-carried buffers
-        # MISCOMPILES on TPU at some shapes — the level-1 record lands one
-        # simulation LATE (the backup einsum then reads the previous sim's
-        # row => edge visits on nodes the path never touched, the class-2
-        # "invalid root visits" corruption; forensics in docs/PERF.md).
-        # The select lowers to pure dataflow and dodges XLA's in-place DUS
-        # path entirely; cost is identical (the buffers are a few hundred
-        # KB and every mutation rewrites them anyway).
+        # Level-major layout: the update is a leading-axis one-row DUS,
+        # the same well-exercised pattern as lax.scan's ys stacking.
         rec_p = jnp.where(stop, M, node)       # M = one-hot drop sentinel
         rec_a = jnp.where(stop, 0, a)
         rec_r = jnp.where(stop, 0, rot)
@@ -413,11 +405,10 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
         jax.nn.one_hot(roll_idx, P, dtype=value_vec.dtype), value_vec)
     v_l = jnp.where(mask, v_l, 0.0)
 
-    # Lane _PVALID (0) never receives einsum updates, so the contraction
-    # runs over the 3 live lanes (_CHILD/_EN/_EW = stats lanes 1..3) and the
-    # zero lane is concatenated back for the fused elementwise add — 25%
-    # less MXU padding and operand traffic than a 4-lane delta.
-    # Child-pointer install rides the einsum as TWO extra levels whose f32
+    # Lane _PVALID (0) never receives delta updates, so only the 3 live
+    # lanes (_CHILD/_EN/_EW) are computed and a zero lane is stacked back
+    # for the fused elementwise add.
+    # Child-pointer install rides the delta as TWO extra levels whose f32
     # accumulation reconstructs ``slot + 0.5*terminal`` EXACTLY: bf16 (8
     # significand bits) cannot represent the packed encoding above 255.5
     # (255.5 -> 256.0 = a pointer to the WRONG node), but the split
