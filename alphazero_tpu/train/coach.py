@@ -245,7 +245,14 @@ class Coach:
     def gate(self, old_bundle) -> tuple[bool, tuple[int, int, int]]:
         """New net vs previous best with full seat rotation: the candidate
         occupies each of the N seats in turn (generalizes the reference's
-        1-2/2-1 alternation, Arena.py:195-202, to N players)."""
+        1-2/2-1 alternation, Arena.py:195-202, to N players).
+
+        ``update_threshold`` keeps its 2-player meaning ("win at least
+        this fraction of decided games", reference Coach.py:156): with N
+        players the candidate holds 1 of N seats, so an EQUAL net wins
+        only 1/N of decided games — the acceptance bar scales by
+        fair-share (threshold * (1/N)/0.5), otherwise an N>2 gate rejects
+        nearly everything (observed: 3P gates hovering at 0.33)."""
         n = self.cfg.num_players
         self.key, k = jax.random.split(self.key)
         nw = ow = dr = 0
@@ -256,7 +263,8 @@ class Coach:
             nw += wins[0]
             ow += wins[1]
             dr += d
-        accept = (nw + ow) > 0 and nw / (nw + ow) >= self.cfg.update_threshold
+        bar = self.cfg.update_threshold * (1.0 / n) / 0.5
+        accept = (nw + ow) > 0 and nw / (nw + ow) >= bar
         return accept, (nw, ow, dr)
 
     def eval_vs_baselines(self) -> dict:
@@ -391,6 +399,8 @@ class Coach:
                 # decided-game winrate with its binomial stderr, so the
                 # accept/reject record carries its own confidence
                 "gate_winrate": nw / max(nw + ow, 1),
+                "gate_bar": cfg.update_threshold * (1.0 / cfg.num_players)
+                            / 0.5,
                 "gate_stderr": float(np.sqrt(
                     max(nw * ow, 1)) / max(nw + ow, 1) ** 1.5),
                 "accepted": accept,

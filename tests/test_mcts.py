@@ -161,3 +161,38 @@ def test_descent_unroll_is_exact(setup):
                                           np.asarray(res_u.raw_counts))
             np.testing.assert_allclose(np.asarray(res1.q),
                                        np.asarray(res_u.q), atol=1e-6)
+
+
+def test_edge_visits_only_on_valid_actions_all_nodes(setup):
+    """Whole-tree invariant behind the (fixed) class-2 TPU corruption: every
+    expanded node's edge-visit support must lie within the valid-move mask
+    of its own stored state.  The 4-D backup einsum violated this on
+    XLA:TPU (phantom visits on rows the path never touched) — the per-lane
+    formulation is exact; scripts/reuse_repro.py re-checks on hardware."""
+    cfg, eval_fn, step_fn, valid_fn = setup
+    mcfg = M.MCTSConfig(num_sims=48, forced_playouts=True, add_noise=True,
+                        dirichlet_alpha=0.2, prior_temp=1.25, max_depth=32)
+    rs = M.build_reusing_search(mcfg, 2, eval_fn, step_fn, valid_fn,
+                                keep_cap=48)
+    roots = _roots(cfg, 4, seed=11)
+
+    @jax.jit
+    def run_once(roots, key):
+        tree, n = rs.init_tree(roots)
+        res, tree, n = rs.run(None, tree, n, key)
+        return tree
+
+    tree = run_once(roots, jax.random.PRNGKey(3))
+    stats = np.asarray(tree.stats)
+    states = np.asarray(tree.states)
+    vm_all = np.asarray(jax.jit(jax.vmap(jax.vmap(valid_fn)))(
+        jnp.asarray(states)))
+    A = 409
+    for b in range(stats.shape[0]):
+        en = stats[b, :, 2, :A]
+        pv = stats[b, :, 0, :A]
+        for m in np.flatnonzero((pv >= 0).any(1)):
+            bad = (en[m] > 0) & ~vm_all[b, m]
+            assert not bad.any(), (
+                f"board {b} node {m}: edge visits on invalid actions "
+                f"{np.flatnonzero(bad)[:8]}")
