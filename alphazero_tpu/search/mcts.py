@@ -119,7 +119,11 @@ class MCTSConfig:
     # unrolling U levels into one body amortizes that overhead U-fold.
     # Semantically EXACT — the unrolled body is the same per-level function
     # applied U times (tests/test_mcts.py locks unroll==1 equivalence).
-    descent_unroll: int = 2
+    # Default 1: the only A/B measurements so far were taken while the chip
+    # was in a degraded state (speedup 0.83-0.96, see docs/PERF.md
+    # "chip-day variance") — flip to 2 only on a measured healthy-chip win
+    # (bench.py reports speedup_vs_legacy in-session).
+    descent_unroll: int = 1
     # Historical flag for the Pallas fused-backup kernel
     # (ops/fused_backup.py).  The kernel targets the pre-packed split
     # stats/node_sc layout and measured slower than the XLA einsum on v5e
