@@ -130,11 +130,16 @@ def main():
         "sims": sims,
     }
     if not skip_ab:
-        # same-session A/B vs the legacy descent (rounds 1-3 equivalent)
-        t_legacy = _time_reps(lambda: run_search(build(1)), reps)
-        legacy_med = batch * sims / _median(t_legacy)
-        out["legacy_descent_value"] = round(legacy_med, 1)
-        out["speedup_vs_legacy"] = round(rps_med / legacy_med, 3)
+        # same-session A/B: measure the OTHER descent-unroll setting so the
+        # pair always compares two distinct programs (unroll=1 is the
+        # rounds-1-3-equivalent legacy descent; unroll=2 the amortized one)
+        from alphazero_tpu.search.mcts import MCTSConfig
+        main_u = unroll or MCTSConfig().descent_unroll
+        alt_u = 2 if main_u == 1 else 1
+        t_alt = _time_reps(lambda: run_search(build(alt_u)), reps)
+        alt_med = batch * sims / _median(t_alt)
+        out[f"unroll{alt_u}_value"] = round(alt_med, 1)
+        out["speedup_vs_alt"] = round(rps_med / alt_med, 3)
         tflops, gbps = _pin_probes()
         out["pin_matmul_tflops"] = tflops
         out["pin_hbm_gbps"] = gbps
