@@ -43,6 +43,17 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="nn_version")
     p.add_argument("--vl-weight", "-v", type=float, default=10.0,
                    dest="vl_weight")
+    p.add_argument("--vl-warmup-iters", type=int, default=0,
+                   dest="vl_warmup_iters",
+                   help="ramp the value-loss weight linearly over the first "
+                        "N iterations (0 = off); mitigates the N>2 "
+                        "value-head collapse (docs/PERF.md, runs/r10_4p)")
+    p.add_argument("--gate-mode", choices=("threshold", "always"),
+                   default="threshold", dest="gate_mode",
+                   help="'threshold': reference accept/reject at "
+                        "updateThreshold with rollback (Coach.py:152-162); "
+                        "'always': latest net always becomes best (no "
+                        "rollback), gate match still recorded")
     p.add_argument("--forced-playouts", "-F", action="store_true",
                    dest="forced_playouts")
     p.add_argument("--surprise-weight", "-W", action="store_true",
@@ -103,6 +114,8 @@ def args_to_config(args) -> CoachConfig:
         prior_temp=args.temperature[0],
         learn_rate=args.learn_rate,
         vl_weight=args.vl_weight,
+        vl_warmup_iters=args.vl_warmup_iters,
+        gate_mode=args.gate_mode,
         batch_size=args.batch_size,
         epochs=args.epochs,
         surprise_weight=args.surprise_weight,

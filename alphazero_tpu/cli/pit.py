@@ -190,6 +190,10 @@ def play_batched(args):
     n = args.numPlayers
     env_cfg = E.SplendorConfig(num_players=n)
     per_seat = max(args.num_games // n, 1)
+    if per_seat * n != args.num_games:
+        log.warning("-n %d is not a multiple of %d players: playing %d "
+                    "games (%d per seat)", args.num_games, n, per_seat * n,
+                    per_seat)
     if "alphabeta" in args.players and not args.ab_value_ckpt:
         # reference parity: alphabeta's leaf eval defaults to the NN
         # opponent's own value head (pit.py:71-72)

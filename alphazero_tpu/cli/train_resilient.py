@@ -35,7 +35,9 @@ def completed_iters(ckpt_dir: str) -> int:
             if line.strip():
                 try:
                     done = max(done, int(json.loads(line).get("iter", 0)))
-                except ValueError:
+                except (ValueError, TypeError, AttributeError):
+                    # malformed line (null iter / non-dict JSON / truncated
+                    # crash-time write) must not kill the supervisor
                     continue
     return done
 

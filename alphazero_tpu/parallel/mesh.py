@@ -51,10 +51,11 @@ def make_sharded_train_step(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
     data = NamedSharding(mesh, P(axis))
 
     batch_sh = {k: data for k in ("boards", "pi", "winner", "scdiff", "valids")}
-    # sharding pytree prefixes: replicated train state / lr / key, sharded batch
+    # sharding pytree prefixes: replicated train state / lr / vl-weight /
+    # key, sharded batch
     return jax.jit(
         base_step,
-        in_shardings=(repl, batch_sh, repl, repl),
+        in_shardings=(repl, batch_sh, repl, repl, repl),
         donate_argnums=(0,),
     )
 

@@ -76,9 +76,13 @@ EPS = 1e-8
 # level (gathers are HBM-latency-bound, ~60-90us each regardless of width —
 # docs/PERF.md; the previous 3-array layout paid three).
 _PVALID = 0   # prior probability where valid, -1.0 where invalid
-_CHILD = 1    # child node id as f32 + 0.5 if that child is TERMINAL (integer
-              # part = id, fraction = flag — saves the child-row lookup during
-              # descent); 0 = unexpanded (the root can never be a child)
+_CHILD = 1    # SIGN-PACKED child pointer: +id for a live child, -id if that
+              # child is TERMINAL (the sign carries the flag, saving the
+              # child-row lookup during descent); 0 = unexpanded (the root
+              # can never be a child).  Sign-packing (round 5; previously
+              # id + 0.5) keeps every representable id EXACT in bfloat16 up
+              # to 255 — the old fractional flag was bf16-exact only to
+              # 127.5, halving the capacity at which bf16 stats are safe.
 _EN = 2       # edge visit count N(s,a)
 _EW = 3       # edge value sum W(s,a) (node-frame v[0] backups)
 
@@ -131,14 +135,19 @@ class MCTSConfig:
     # packed layout it is no longer wired in; enabling raises, the op and
     # its tests remain as the Pallas reference.
     pallas_backup: bool = False
-    # Storage dtype for the packed stats array ("float32" | "bfloat16").
-    # The backup is HBM-bandwidth-bound in the stats buffer (read + delta +
-    # write per sim), so bfloat16 halves its traffic — but measured on the
-    # target chip the f32->bf16 converts in the descent loop cost more than
-    # the saved bandwidth (docs/PERF.md), and exactness caps the tree at 128
-    # nodes (integer counts + the packed id+0.5 terminal flag), so float32
-    # stays the default.  Q-precision parity: tests/test_mcts_bf16.py.
-    stats_dtype: str = "float32"
+    # Storage dtype for the packed stats array
+    # ("auto" | "float32" | "bfloat16").  The backup is HBM-bandwidth-bound
+    # in the stats buffer (read + delta + write per sim) and bfloat16
+    # halves its traffic: measured 107.8k -> 158.2k rollouts/s at
+    # B=1024/S=64 on v5e (round 5, healthy pins — the round-3 "bf16 is
+    # slower" result predates the per-lane backup and the sign-packed
+    # child pointers).  Exactness bounds for bf16: integers (visit counts,
+    # ±id pointers) are exact up to 256, so bf16 requires capacity <= 256
+    # AND a fresh tree per search (carried reuse roots accumulate Ns past
+    # 256, where bf16 +1 increments vanish).  "auto" (default) resolves to
+    # bfloat16 exactly when those bounds hold on a TPU backend, float32
+    # otherwise.  Q-precision parity: tests/test_mcts_bf16.py.
+    stats_dtype: str = "auto"
 
 
 class Tree(NamedTuple):
@@ -182,12 +191,29 @@ StepFn = Callable[..., tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
 
 def _mm_dtype():
     """bf16 one-hot matmuls on TPU; CPU's dot thunk lacks BF16xBF16=F32.
-    AZTPU_MM_DTYPE overrides (diagnostic lever, docs/PERF.md class-2)."""
+    AZTPU_MM_DTYPE overrides (diagnostic lever, docs/PERF.md class-2).
+    NOTE: read at TRACE time — a search jitted before the env var changes
+    keeps the dtype it was traced with."""
     import os
     ov = os.environ.get("AZTPU_MM_DTYPE")
     if ov:
+        if ov not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"AZTPU_MM_DTYPE={ov!r}: must be 'float32' or 'bfloat16'")
         return jnp.dtype(ov)
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def _backup_form():
+    """Backup-delta formulation: 'fused3' (one 3-lane einsum, default) or
+    'perlane' (three separate matmuls — the round-4 diagnostic fallback).
+    Read at TRACE time, like _mm_dtype."""
+    import os
+    form = os.environ.get("AZTPU_BACKUP_FORM", "perlane")
+    if form not in ("fused3", "perlane"):
+        raise ValueError(
+            f"AZTPU_BACKUP_FORM={form!r}: must be 'fused3' or 'perlane'")
+    return form
 
 
 def _normalize_masked(p, valid):
@@ -291,13 +317,13 @@ def _select(cfg: MCTSConfig, tree: Tree, sim_idx, path_p, path_a, path_r,
         qs = row[:, _EW, A].astype(jnp.float32) / (nn_ + 1.0)
         a = _ucb_pick_rows(cfg, prior_r, valid_r, en_r, ew_r, nn_, qs,
                            sim_idx, node == 0)
-        # _CHILD packs "child id + 0.5 if that child is terminal": one
-        # gather serves both the pointer and the terminal check
+        # _CHILD sign-packs "±child id, negative if terminal": one gather
+        # serves both the pointer and the terminal check
         child_raw = jnp.take_along_axis(
             row[:, _CHILD, :A], a[:, None], axis=1,
             mode="promise_in_bounds")[:, 0].astype(jnp.float32)
-        child = jnp.floor(child_raw).astype(jnp.int32)
-        term_c = (child_raw - jnp.floor(child_raw)) > 0.25
+        child = jnp.abs(child_raw).astype(jnp.int32)
+        term_c = child_raw < 0.0
         # cap reached: treat the chosen edge's child as the leaf (it is
         # re-evaluated and backed up, never expanded further this sim)
         now_stop = (child == 0) | term_c | (level >= depth_cap - 1)
@@ -376,19 +402,20 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
       per-level weights), so the packed layout absorbs the old separate
       node-scalar einsum for free
     - fresh child-pointer install          -> two extra einsum "levels"
-      whose lane-_CHILD weights split ``slot + 0.5*terminal`` into
-      bf16-exact halves (multiple-of-128 + remainder; add == set: a fresh
-      edge's lane is 0; the fraction packs the child-terminal flag read
-      back during descent).  The packed id must NEVER pass through a bf16
-      cast whole: bfloat16 cannot represent ``id + 0.5`` above 255.5 nor
-      odd integers above 256 (255.5 -> 256, 257 -> 256), so on TPU (where
-      ``_mm_dtype`` is bf16) any tree with capacity > 256 nodes silently
-      installed pointers to the WRONG node — the root cause of the class-1
-      "root counts for a different state" corruption (a reuse-specific
-      class-2 defect remained open past this fix; see docs/PERF.md);
-      regression-locked by tests/test_mcts_backprop_precision.py.  The
-      split itself is exact only while ``hi = slot & ~127`` is bf16-exact,
-      i.e. capacity <= 32768 — guarded in ``_build_core``
+      whose lane-_CHILD weights split the sign-packed pointer
+      ``±slot`` (negative iff the child is terminal) into bf16-exact
+      halves (±multiple-of-128 + ±remainder; add == set: a fresh edge's
+      lane is 0; the SIGN packs the child-terminal flag read back during
+      descent).  The packed id must NEVER pass through a bf16 cast whole:
+      bfloat16 cannot represent odd integers above 256 (257 -> 256), so
+      on TPU (where ``_mm_dtype`` is bf16) any tree with capacity > 256
+      nodes would silently install pointers to the WRONG node — the root
+      cause of the class-1 "root counts for a different state" corruption
+      (a reuse-specific class-2 defect remained open past this fix; see
+      docs/PERF.md); regression-locked by
+      tests/test_mcts_backprop_precision.py.  The split itself is exact
+      only while ``hi = slot & ~127`` is bf16-exact, i.e. capacity <=
+      32768 — guarded in ``_build_core``
     - the expanded node's full row         -> broadcast outer-product add
       (priors ride at +1 over the -1 initialization; node columns start 0)
     """
@@ -413,39 +440,54 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
     # lanes (_CHILD/_EN/_EW) are computed and a zero lane is stacked back
     # for the fused elementwise add.
     # Child-pointer install rides the delta as TWO extra levels whose f32
-    # accumulation reconstructs ``slot + 0.5*terminal`` EXACTLY: bf16 (8
-    # significand bits) cannot represent the packed encoding above 255.5
-    # (255.5 -> 256.0 = a pointer to the WRONG node), but the split
-    #   hi = slot & ~127          (multiple of 128 -> exact up to 32768)
-    #   lo = (slot & 127) + 0.5*t (< 128 at 0.5 granularity -> exact)
+    # accumulation reconstructs the sign-packed pointer ``±slot``
+    # (negative iff the child is terminal) EXACTLY: bf16 (8 significand
+    # bits) cannot represent odd integers above 256 (257 -> 256 = a
+    # pointer to the WRONG node), but the split
+    #   hi = ±(slot & ~127)       (multiple of 128 -> exact up to 32768)
+    #   lo = ±(slot & 127)        (integer < 128 -> exact)
     # keeps every level bf16-exact.  Alternatives measured slower: an f32
     # one-hot outer product added to the einsum output (-40%), a broadcast
     # term in the final elementwise add (-30%) — both break the
     # einsum+add fusion this backup lives on.
     slot_i = jnp.where(fresh, slot_b, 0)
-    inst_hi = (slot_i & ~127).astype(jnp.float32)
-    inst_lo = ((slot_i & 127).astype(jnp.float32)
-               + jnp.where(fresh, 0.5 * child_term.astype(jnp.float32), 0.0))
+    sgn = jnp.where(child_term, -1.0, 1.0)
+    inst_hi = sgn * (slot_i & ~127).astype(jnp.float32)
+    inst_lo = sgn * (slot_i & 127).astype(jnp.float32)
     pp = jnp.concatenate([jnp.where(mask, path_p, M),
                           parent[:, None], parent[:, None]], 1)      # [B,S+2]
     pa = jnp.concatenate([path_a, action[:, None], action[:, None]], 1)
     onehot_pp = jax.nn.one_hot(pp, M, dtype=mmt)                     # [B,S+2,M]
     # two-hot action rows: backup levels hit their action column AND the
     # node column A; the install levels (S, S+1) stay one-hot so the
-    # pointer lands only on its edge column
-    act_hot = jax.nn.one_hot(pa, A2, dtype=mmt)                      # [B,S+2,A+2]
-    act2 = act_hot.at[:, :S, A].add(1)
+    # pointer lands only on its edge column.  The node-column bump is a
+    # TRACE-TIME CONSTANT broadcast (all boards bump column A at levels
+    # < S) — the earlier per-sim ``.at[:, :S, A].add(1)`` compiled to a
+    # real scatter-add costing ~0.5 ms/sim (xprof, round 5).
+    act2 = (jax.nn.one_hot(pa, A2, dtype=mmt)
+            + jnp.zeros((1, S + 2, A2), mmt).at[0, :S, A].set(1))
+    # ALL THREE lanes share act2: the CH lane's weights are zero at levels
+    # 0..S-1 (only the two install levels carry inst_lo/inst_hi), so the
+    # node-column bump there multiplies a zero weight — sharing the operand
+    # saves materializing a second [B,S+2,A+2] one-hot every sim.
 
-    # The delta is computed as THREE per-lane batched matmuls
-    # (bsm,bsa->bma), one per live lane, each with its per-level weights
-    # folded into the pp one-hot.  DO NOT fold the lanes into a single
-    # 4-D contraction (bsm,bsva->bmva): that einsum MISCOMPILES on
-    # XLA:TPU at these shapes — a fraction of level contributions land on
-    # the WRONG tree row (verified deterministic, dtype-independent;
-    # per-lane form is exact at every shape tested).  Forensics and the
-    # minimal discriminating experiment are recorded in docs/PERF.md
-    # ("class-2" corruption); regression-locked by
-    # tests/test_mcts.py invariants + scripts/reuse_repro.py on hardware.
+    # The delta for the 3 live lanes.  DO NOT use a single 4-D contraction
+    # with the lane axis free on the RHS (bsm,bsva->bmva): that einsum
+    # MISCOMPILES on XLA:TPU at these shapes — a fraction of level
+    # contributions land on the WRONG tree row (verified deterministic,
+    # dtype-independent).  Forensics and the minimal discriminating
+    # experiment are recorded in docs/PERF.md ("class-2" corruption);
+    # regression-locked by tests/test_mcts.py invariants +
+    # scripts/reuse_repro.py on hardware.  Two SAFE forms (both plain 3-D
+    # batched GEMMs, the shape class validated at every size tested):
+    # - "perlane" (default): three separate bsm,bsa->bma matmuls with the
+    #   per-level weights folded into the pp one-hot — measured FASTER
+    #   than every wider fusion tried (one bsm,bsk->bmk with lanes along
+    #   k: 6.9 ms/sim; lanes on the LHS + transpose: 4.3; 2-dot split:
+    #   5.6; vs 3.6 ms/sim here — the wide concatenated operands cost
+    #   more than the extra dispatches, round-5 microbench on v5e)
+    # - "fused3": the single wide-k einsum (AZTPU_BACKUP_FORM=fused3,
+    #   kept as a diagnostic; counts verified identical on hardware)
     zeros2 = jnp.zeros((B, 2), mmt)
     w_en = jnp.concatenate([mask.astype(mmt), zeros2], 1)            # [B,S+2]
     w_ew = jnp.concatenate([v_l.astype(mmt), zeros2], 1)
@@ -453,14 +495,24 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
                             inst_lo.astype(mmt)[:, None],
                             inst_hi.astype(mmt)[:, None]], 1)
 
-    def lane_delta(w, ah):
-        return jnp.einsum("bsm,bsa->bma", onehot_pp * w[:, :, None], ah,
-                          preferred_element_type=jnp.float32)        # [B,M,A+2]
+    if _backup_form() == "perlane":
+        def lane_delta(w, ah):
+            return jnp.einsum("bsm,bsa->bma", onehot_pp * w[:, :, None], ah,
+                              preferred_element_type=jnp.float32)    # [B,M,A+2]
 
-    delta = jnp.stack([jnp.zeros((B, M, A2), jnp.float32),
-                       lane_delta(w_ch, act_hot),
-                       lane_delta(w_en, act2),
-                       lane_delta(w_ew, act2)], axis=2).astype(sdt)
+        delta = jnp.stack([jnp.zeros((B, M, A2), jnp.float32),
+                           lane_delta(w_ch, act2),
+                           lane_delta(w_en, act2),
+                           lane_delta(w_ew, act2)], axis=2).astype(sdt)
+    else:
+        act_cat = jnp.concatenate([act2 * w_ch[:, :, None],
+                                   act2 * w_en[:, :, None],
+                                   act2 * w_ew[:, :, None]], -1)     # [B,S+2,3(A+2)]
+        d3 = jnp.einsum("bsm,bsk->bmk", onehot_pp, act_cat,
+                        preferred_element_type=jnp.float32)          # [B,M,3(A+2)]
+        delta = jnp.concatenate(
+            [jnp.zeros((B, M, 1, A2), jnp.float32),
+             d3.reshape(B, M, 3, A2)], axis=2).astype(sdt)
 
     # expanded node's full row: broadcast outer product, fused into the add
     content = jnp.zeros((B, 4, A2), jnp.float32)\
@@ -485,13 +537,24 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
     M = S + keep_cap + 1
     P = num_players
     PL = min(M - 1, cfg.max_depth) if cfg.max_depth > 0 else M - 1
-    sdt = jnp.dtype(cfg.stats_dtype)
-    if sdt == jnp.bfloat16 and M > 128:
+    if cfg.stats_dtype == "auto":
+        # bf16 stats halve the backup's HBM traffic (the dominant cost) and
+        # are EXACT for counts and sign-packed pointers while capacity stays
+        # <= 256 on a fresh tree; carried reuse roots accumulate Ns without
+        # bound (bf16 +1 increments vanish past 256), so reuse keeps f32
+        sdt = (jnp.dtype(jnp.bfloat16)
+               if (jax.default_backend() == "tpu" and M <= 256
+                   and keep_cap == 0)
+               else jnp.dtype(jnp.float32))
+    else:
+        sdt = jnp.dtype(cfg.stats_dtype)
+    if sdt == jnp.bfloat16 and (M > 256 or keep_cap > 0):
         raise ValueError(
-            f"stats_dtype=bfloat16 stores visit counts and the packed "
-            f"child-id+terminal-flag (id + 0.5) exactly only up to id 127, "
-            f"but tree capacity is {M} (num_sims={S}, keep_cap={keep_cap}); "
-            f"use float32")
+            f"stats_dtype=bfloat16 stores visit counts and the sign-packed "
+            f"child pointers exactly only up to 256 on a FRESH tree, but "
+            f"tree capacity is {M} (num_sims={S}, keep_cap={keep_cap}); "
+            f"use float32 (reuse trees accumulate root Ns past 256, where "
+            f"bf16 +1 increments vanish)")
     if _mm_dtype() == jnp.bfloat16 and M > 32768:
         # the child-pointer install rides the backup einsum in _mm_dtype as
         # hi = slot & ~127 (bf16-exact only while slot <= 32768: 128*k needs
@@ -691,11 +754,11 @@ def build_reusing_search(mcts_cfg: MCTSConfig, num_players: int,
         c_raw = jnp.take_along_axis(
             tree.stats[:, 0, _CHILD, :A], actions[:, None], axis=1,
             mode="promise_in_bounds")[:, 0].astype(jnp.float32)     # [B]
-        c_star = jnp.floor(c_raw).astype(jnp.int32)
+        c_star = jnp.abs(c_raw).astype(jnp.int32)
         has = c_star > 0
         child_states = _row(tree.states, c_star)
         match = (child_states == next_states).reshape(B, -1).all(-1)
-        child_term = (c_raw - jnp.floor(c_raw)) > 0.25   # packed flag
+        child_term = c_raw < 0.0                         # sign-packed flag
         valid = has & match & ~child_term
 
         # reachability from c_star: parent-pointer doubling with absorbing
@@ -723,11 +786,11 @@ def build_reusing_search(mcts_cfg: MCTSConfig, num_players: int,
         keep_fin = keep & (rank < n_kept[:, None])
         new_id = jnp.where(keep_fin, rank, 0)
 
-        # remap child pointers (keeping the packed terminal fraction) and
+        # remap child pointers (keeping the sign-packed terminal flag) and
         # parent ids in the OLD layout
         child_old_f = tree.stats[:, :, _CHILD, :A].astype(jnp.float32)
-        child_old = jnp.floor(child_old_f).astype(jnp.int32)
-        frac_old = child_old_f - jnp.floor(child_old_f)
+        child_old = jnp.abs(child_old_f).astype(jnp.int32)
+        sgn_old = jnp.where(child_old_f < 0, -1.0, 1.0)
         flat = child_old.reshape(B, Mc * A)
         keep_c = jnp.take_along_axis(keep_fin, flat, axis=1,
                                      mode="promise_in_bounds")
@@ -735,7 +798,7 @@ def build_reusing_search(mcts_cfg: MCTSConfig, num_players: int,
                                    mode="promise_in_bounds")
         child_new = jnp.where(
             (flat > 0) & keep_c,
-            id_c.astype(jnp.float32) + frac_old.reshape(B, Mc * A),
+            id_c.astype(jnp.float32) * sgn_old.reshape(B, Mc * A),
             0.0).reshape(B, Mc, A)
         sdt_l = tree.stats.dtype
         stats_old = tree.stats.at[:, :, _CHILD, :A].set(

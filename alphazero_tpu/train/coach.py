@@ -45,7 +45,9 @@ def completed_iterations(checkpoint_dir: str) -> int:
                 continue
             try:
                 done = max(done, int(json.loads(line).get("iter", 0)))
-            except (ValueError, KeyError):
+            except (ValueError, KeyError, TypeError, AttributeError):
+                # tolerate any malformed line ("iter": null, non-dict JSON,
+                # truncated write at crash time) — resume must not die on it
                 continue
     return done
 
@@ -80,10 +82,26 @@ class CoachConfig:
     net_width: int = 128                 # trunk width (reference fixed 128)
     history: int = 5                      # numItersHistory
     max_examples_per_iter: int = 400_000
+    # training-dynamics levers against the N>2 value-head collapse (4P runs
+    # showed l_v pinned at 0.75 == the variance of a constant prediction of
+    # +1/-1 winner vectors, with vl_weight*l_v dominating the trunk
+    # gradient): ramp the value-loss weight linearly over the first
+    # ``vl_warmup_iters`` iterations (0 = off, full weight immediately)
+    vl_warmup_iters: int = 0
     # gating
     update_threshold: float = 0.6
     arena_games: int = 30
     gate_num_sims: int = 0                # 0 -> num_sims
+    # "threshold": reference semantics — accept only past the (fair-share
+    #   scaled) winrate bar, else roll back (Coach.py:152-162).  Prone to
+    #   deadlock for N>2: once candidates stop clearing the bar, params
+    #   freeze, self-play data stops moving, and every retrain from the
+    #   same distribution produces the same rejected candidate (observed:
+    #   r8_3p iters 27-52, r10_4p all 12).
+    # "always": modern AlphaZero — every iteration's net becomes the new
+    #   best (no rollback); the gate match still runs and is recorded as
+    #   the progress signal.
+    gate_mode: str = "threshold"
     # learning-curve evaluation: pit the current net vs random AND greedy
     # baselines every iteration (0 = off); results land in metrics.jsonl
     eval_baseline_games: int = 0
@@ -201,8 +219,15 @@ class Coach:
             self.replay.add_iteration(merged)
         return stats_acc
 
-    def train_iteration(self):
+    def train_iteration(self, it: int = 0):
         self.key, k = jax.random.split(self.key)
+        # value-loss warmup: ramp vl_weight linearly over the first
+        # vl_warmup_iters iterations so early (uninformative) winner targets
+        # cannot dominate the trunk gradient and collapse the value head
+        # (the observed 4P failure; vl enters the jitted step as a traced
+        # scalar so the ramp costs no recompiles)
+        w = self.cfg.vl_warmup_iters
+        vl_scale = min(1.0, max(it, 1) / w) if w > 0 else 1.0
 
         def save_intermediary(epoch, state, metrics):
             # rolling mid-train snapshot (reference intermediary checkpoints,
@@ -220,8 +245,10 @@ class Coach:
             eval_step_fn=self.eval_step, on_epoch_end=save_intermediary,
             train_chunk_fn=self.train_chunk,
             chunk_steps=self.cfg.train_chunk_steps,
+            vl_scale=vl_scale,
             log_every=500)   # live loss meter (reference tqdm postfix,
                              # GenericNNetWrapper.py:63,99)
+        metrics["vl_scale"] = vl_scale
         if not np.isfinite(metrics.get("loss", 0.0)):
             # NaN/inf guard (failure detection, SURVEY §5.3): a diverged train
             # step must not poison best.pt via the gate — roll back to the
@@ -364,10 +391,18 @@ class Coach:
                                  batch_stats=self.train_state.batch_stats,
                                  opt_state=self.train_state.opt_state,
                                  meta=dataclasses.asdict(cfg))
-            metrics = self.train_iteration()
+            metrics = self.train_iteration(it)
             log.info("Iter %d: train %s", it, metrics)
 
             accept, (nw, ow, dr) = self.gate(old_bundle)
+            gate_passed = accept
+            if cfg.gate_mode == "always":
+                # modern AlphaZero: the latest net always becomes best (no
+                # rollback — breaks the N>2 gate deadlock where frozen
+                # params regenerate the same rejected candidate forever);
+                # the gate match above is still recorded as the progress
+                # signal
+                accept = True
             if accept:
                 log.info("Iter %d: new vs prev %d-%d (%d draws) ACCEPTED",
                          it, nw, ow, dr)
@@ -404,6 +439,8 @@ class Coach:
                 "gate_stderr": float(np.sqrt(
                     max(nw * ow, 1)) / max(nw + ow, 1) ** 1.5),
                 "accepted": accept,
+                "gate_passed_bar": gate_passed,
+                "gate_mode": cfg.gate_mode,
                 "replay_examples": len(self.replay),
             }
             if cfg.eval_baseline_games > 0:

@@ -46,4 +46,12 @@ def total_loss(outputs, targets, vl_weight):
     l_cdf = loss_scdiff_cdf(targets["scdiff"], log_sd)
     l_pdf = loss_scdiff_pdf(targets["scdiff"], log_sd)
     total = l_pi + vl_weight * l_v + l_cdf + l_pdf
-    return total, {"loss": total, "pi": l_pi, "v": l_v, "scdiff": l_cdf + l_pdf}
+    # value-head OUTPUT statistics ride along so collapse/saturation is
+    # visible in metrics.jsonl: a head stuck at the target mean shows
+    # v_out_std ~ 0, a saturated tanh shows v_out_absmean ~ 1 (the 4P
+    # failure mode — constant prediction gives exactly l_v = 0.75 for
+    # +1/-1 winner vectors, N=4)
+    return total, {"loss": total, "pi": l_pi, "v": l_v,
+                   "scdiff": l_cdf + l_pdf,
+                   "v_out_mean": v.mean(), "v_out_std": v.std(),
+                   "v_out_absmean": jnp.abs(v).mean()}

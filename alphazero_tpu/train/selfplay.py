@@ -59,8 +59,10 @@ class SelfPlayConfig:
     max_depth: int = 64
     # MCTS edge-stats storage dtype ("float32" | "bfloat16"); bfloat16 halves
     # the backup's HBM traffic but requires tree capacity <= 256 (exact
-    # integer counts) — see MCTSConfig.stats_dtype
-    stats_dtype: str = "float32"
+    # integer counts) — see MCTSConfig.stats_dtype; "auto" resolves to
+    # bfloat16 on TPU for fresh trees with capacity <= 256 (the production
+    # S=128 shape), float32 otherwise (incl. all reuse trees)
+    stats_dtype: str = "auto"
     # --- class-2 reuse-corruption investigation levers (docs/PERF.md) ---
     # donate the fused-chunk carry (tree buffers reused in place by XLA);
     # False forces fresh output buffers every chunk call

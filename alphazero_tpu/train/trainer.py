@@ -61,7 +61,9 @@ def _make_step_body(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
     tx = optax.scale_by_adam()
     sym_fn = SYM.batched_random_symmetry(env_cfg) if cfg.augment else None
 
-    def train_step(state: TrainState, batch, lr, key):
+    def train_step(state: TrainState, batch, lr, vlw, key):
+        # ``vlw`` is the value-loss weight as a TRACED scalar so a warmup
+        # schedule (4P value-collapse mitigation) never retriggers a compile
         k_sym, k_drop = jax.random.split(key)
         boards, pi_t, valids = batch["boards"], batch["pi"], batch["valids"]
         if cfg.augment:
@@ -79,7 +81,7 @@ def _make_step_body(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
         def loss_fn(params):
             outputs, new_bs = N.apply_train(net_cfg, params, state.batch_stats,
                                             boards, valids, k_drop)
-            loss, metrics = L.total_loss(outputs, targets, cfg.vl_weight)
+            loss, metrics = L.total_loss(outputs, targets, vlw)
             return loss, (new_bs, metrics)
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -109,12 +111,12 @@ def make_train_chunk(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
     with metrics averaged over the K steps."""
     body = _make_step_body(env_cfg, net_cfg, cfg)
 
-    def chunk(state: TrainState, batches, lrs, key):
+    def chunk(state: TrainState, batches, lrs, vlw, key):
         keys = jax.random.split(key, lrs.shape[0])
 
         def scan_body(st, x):
             b, lr, k = x
-            return body(st, b, lr, k)
+            return body(st, b, lr, vlw, k)
 
         state, ms = jax.lax.scan(scan_body, state, (batches, lrs, keys))
         return state, jax.tree_util.tree_map(lambda x: jnp.mean(x), ms)
@@ -125,7 +127,7 @@ def make_train_chunk(env_cfg: E.SplendorConfig, net_cfg: N.NetConfig,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, axis))
     batch_sh = {k: data for k in ("boards", "pi", "winner", "scdiff", "valids")}
-    return jax.jit(chunk, in_shardings=(repl, batch_sh, repl, repl),
+    return jax.jit(chunk, in_shardings=(repl, batch_sh, repl, repl, repl),
                    donate_argnums=(0,))
 
 
@@ -173,7 +175,7 @@ def onecycle_lr(step: int, total_steps: int, peak: float,
 def fit(train_state: TrainState, train_step_fn, replay, cfg: TrainConfig,
         rng: np.random.Generator, key, surprise_weight: bool = False,
         log_every: int = 0, eval_step_fn=None, on_epoch_end=None,
-        train_chunk_fn=None, chunk_steps: int = 64):
+        train_chunk_fn=None, chunk_steps: int = 64, vl_scale: float = 1.0):
     """Run epochs x batches over the replay buffer (reference
     GenericNNetWrapper.train).  Returns (train_state, last metrics).
 
@@ -203,6 +205,9 @@ def fit(train_state: TrainState, train_step_fn, replay, cfg: TrainConfig,
     total = cfg.epochs * batch_count
     metrics = {}
     step_i = 0
+    # effective value-loss weight this fit() call (vl_scale implements the
+    # per-iteration warmup against N>2 value-head collapse)
+    vlw = jnp.float32(cfg.vl_weight * vl_scale)
     for epoch in range(cfg.epochs):
         if train_chunk_fn is not None:
             for _ in range(chunks_per_epoch):
@@ -218,7 +223,7 @@ def fit(train_state: TrainState, train_step_fn, replay, cfg: TrainConfig,
                      for j in range(chunk_steps)], jnp.float32)
                 key, sub = jax.random.split(key)
                 train_state, metrics = train_chunk_fn(train_state, batches,
-                                                      lrs, sub)
+                                                      lrs, vlw, sub)
                 step_i += chunk_steps
                 if log_every and step_i % log_every < chunk_steps:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -234,7 +239,8 @@ def fit(train_state: TrainState, train_step_fn, replay, cfg: TrainConfig,
                 lr = onecycle_lr(step_i, total, cfg.learn_rate)
                 key, sub = jax.random.split(key)
                 train_state, metrics = train_step_fn(train_state, batch,
-                                                     jnp.float32(lr), sub)
+                                                     jnp.float32(lr), vlw,
+                                                     sub)
                 step_i += 1
                 if log_every and step_i % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}

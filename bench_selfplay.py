@@ -43,7 +43,7 @@ def main():
                             prob_full=0.25, temp_threshold=10,
                             forced_playouts=True, tree_reuse=reuse,
                             stats_dtype=os.environ.get("BENCH_STATS_DTYPE",
-                                                       "float32"))
+                                                       "auto"))
     eng = SP.SelfPlayEngine(env_cfg, A.make_eval_fn(net_cfg), cfg)
     rng = np.random.default_rng(0)
 

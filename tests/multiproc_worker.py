@@ -67,6 +67,7 @@ def main():
     train_cfg = TR.TrainConfig(batch_size=B, epochs=1, augment=False)
     step = MP.make_sharded_train_step(env_cfg, net_cfg, train_cfg, mesh)
     new_state, metrics = step(state, batch, jnp.float32(1e-3),
+                              jnp.float32(10.0),
                               MP.replicate(mesh, jax.random.PRNGKey(2)))
     loss = float(metrics["loss"])
 

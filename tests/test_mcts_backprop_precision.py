@@ -2,13 +2,13 @@
 runs/r3-r4 "root counts for a different state" TPU corruption).
 
 ``_backprop_fused`` computes the N/W backup as a bf16 one-hot einsum on TPU
-(``_mm_dtype``).  The packed child-pointer install value ``slot + 0.5*term``
-must NOT pass through that einsum: bfloat16 has a 7-bit mantissa, so above
-255.5 it cannot represent the packed encoding (255.5 -> 256.0 == a pointer to
-the WRONG node; 257.0 -> 256.0; fractions >= 256 vanish, losing the terminal
-flag).  Any tree with capacity > 256 nodes — e.g. num_sims >= 256, or
-tree reuse at num_sims >= 128 (M = 2S+1) — silently followed corrupt
-pointers during descent, crediting visits/values to unrelated states.
+(``_mm_dtype``).  The sign-packed child-pointer install value ``±slot``
+(negative iff terminal; round 5 — previously ``slot + 0.5*term``) must NOT
+pass through that einsum whole: bfloat16 has a 7-bit mantissa, so above 256
+it cannot represent odd integers (257.0 -> 256.0 == a pointer to the WRONG
+node).  Any tree with capacity > 256 nodes — e.g. num_sims >= 256, or tree
+reuse at num_sims >= 128 (M = 2S+1) — silently followed corrupt pointers
+during descent, crediting visits/values to unrelated states.
 
 These tests force ``_mm_dtype`` to bfloat16 (as on TPU) on the CPU backend
 and drive ``_backprop_fused`` directly at large slot ids: installs must be
@@ -77,7 +77,7 @@ def test_child_pointer_install_exact_large_tree(bf16_tpu_semantics, slot,
         pvalid_new=jnp.full((B, A), -1.0), child_term=child_term,
         child_rot=jnp.ones((B,), jnp.int32),
         leaf_init_v=jnp.zeros((B,)), term_vec=jnp.zeros((B, P)))
-    want = slot + (0.5 if term else 0.0)
+    want = -slot if term else slot              # sign-packed pointer
     got = np.asarray(out.stats)[np.arange(B), parent, M._CHILD, action]
     np.testing.assert_array_equal(got, np.full(B, want, np.float32))
 

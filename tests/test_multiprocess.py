@@ -82,6 +82,6 @@ def _single_process_loss():
     })
     train_cfg = TR.TrainConfig(batch_size=B, epochs=1, augment=False)
     step = MP.make_sharded_train_step(env_cfg, net_cfg, train_cfg, mesh)
-    _, metrics = step(state, batch, jnp.float32(1e-3),
+    _, metrics = step(state, batch, jnp.float32(1e-3), jnp.float32(10.0),
                       MP.replicate(mesh, jax.random.PRNGKey(2)))
     return float(metrics["loss"])

@@ -65,7 +65,7 @@ def test_train_step_reduces_loss():
     losses = []
     for i in range(30):
         state, metrics = step(state, batch, jnp.float32(3e-3),
-                              jax.random.PRNGKey(i))
+                              jnp.float32(10.0), jax.random.PRNGKey(i))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
 

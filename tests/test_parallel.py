@@ -89,14 +89,16 @@ def test_sharded_train_step_matches_single_device():
     ref_step = TR.make_train_step(ENV_CFG, net_cfg, tcfg)
     ref_state, ref_metrics = ref_step(
         jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state0),
-        {k: jnp.asarray(v) for k, v in batch.items()}, lr, key)
+        {k: jnp.asarray(v) for k, v in batch.items()}, lr, jnp.float32(10.0),
+        key)
 
     sh_step = MP.make_sharded_train_step(ENV_CFG, net_cfg, tcfg, mesh)
     glob = D.host_local_to_global(mesh, batch)
     sh_state, sh_metrics = sh_step(
         MP.replicate(mesh, jax.tree_util.tree_map(
             lambda x: jnp.array(x, copy=True), state0)),
-        glob, MP.replicate(mesh, lr), MP.replicate(mesh, key))
+        glob, MP.replicate(mesh, lr), MP.replicate(mesh, jnp.float32(10.0)),
+        MP.replicate(mesh, key))
 
     assert np.isfinite(float(sh_metrics["loss"]))
     np.testing.assert_allclose(float(sh_metrics["loss"]),
@@ -128,10 +130,11 @@ def test_2d_mesh_train_step_compiles():
     repl = NamedSharding(mesh, P())
     base = TR.make_train_step(ENV_CFG, net_cfg, tcfg)
     step = jax.jit(base, in_shardings=(
-        repl, {k: data for k in batch}, repl, repl), donate_argnums=(0,))
+        repl, {k: data for k in batch}, repl, repl, repl), donate_argnums=(0,))
     state0 = TR.init_train_state(net_cfg, jax.random.PRNGKey(0))
     glob = {k: jax.device_put(jnp.asarray(v), data) for k, v in batch.items()}
     st, metrics = step(jax.device_put(state0, repl), glob,
                        jax.device_put(jnp.float32(1e-3), repl),
+                       jax.device_put(jnp.float32(10.0), repl),
                        jax.device_put(jax.random.PRNGKey(3), repl))
     assert np.isfinite(float(metrics["loss"]))

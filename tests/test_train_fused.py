@@ -36,14 +36,14 @@ def test_train_chunk_matches_sequential_steps():
     key = jax.random.PRNGKey(7)
 
     chunk = TR.make_train_chunk(env_cfg, net_cfg, cfg)
-    state_a, m_chunk = chunk(state_a, batches, lrs, key)
+    state_a, m_chunk = chunk(state_a, batches, lrs, jnp.float32(10.0), key)
 
     step = TR.make_train_step(env_cfg, net_cfg, cfg)
     keys = jax.random.split(key, K)
     ms = []
     for i in range(K):
         batch = {k: v[i] for k, v in batches.items()}
-        state_b, m = step(state_b, batch, lrs[i], keys[i])
+        state_b, m = step(state_b, batch, lrs[i], jnp.float32(10.0), keys[i])
         ms.append(m)
 
     for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
@@ -82,7 +82,8 @@ def test_opt_state_checkpoint_roundtrip(tmp_path):
     step = TR.make_train_step(env_cfg, net_cfg, cfg)
     batch = {k: jnp.asarray(v)
              for k, v in replay.sample(8, np.random.default_rng(0)).items()}
-    state, _ = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(1))
+    state, _ = step(state, batch, jnp.float32(1e-3), jnp.float32(10.0),
+                    jax.random.PRNGKey(1))
 
     CKPT.save_checkpoint(str(tmp_path), "temp.pt", params=state.params,
                          batch_stats=state.batch_stats,

@@ -40,9 +40,9 @@ def test_reroot_carries_subtree(setup):
     next_states = jax.vmap(lambda s, a: step_fn(s, a)[0])(roots, actions)
     old_stats = np.asarray(tree.stats)
     A = old_stats.shape[-1] - 2               # packed layout: node cols A, A+1
-    c_star = np.take_along_axis(old_stats[:, 0, 1, :A],
-                                np.asarray(actions)[:, None], 1)[:, 0]\
-        .astype(int)                           # floor drops the terminal frac
+    c_star = np.abs(np.take_along_axis(old_stats[:, 0, 1, :A],
+                                       np.asarray(actions)[:, None], 1)[:, 0])\
+        .astype(int)                           # abs drops the sign-packed flag
     assert (c_star > 0).all()
 
     tree2, n2 = jax.jit(rs.reroot)(tree, actions, next_states)
