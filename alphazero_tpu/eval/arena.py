@@ -126,6 +126,17 @@ class BatchArena:
                     jnp.asarray(pending)[:, None, None], stepped2, states)
             player = (player + 1) % cfg.num_players
             moves += 1
+            # stateful agents (cross-move tree reuse) follow EVERY move of
+            # the game via reroot — the batched analog of the reference pit
+            # players whose MCTS dict persists across all moves (MCTS.py:27)
+            observers = [a for a in agents if hasattr(a, "on_move")]
+            if observers:
+                next_canon = self.canon(states, player)
+                seen = set()
+                for a in observers:       # dedupe: one reroot per agent even
+                    if id(a) not in seen:  # when it holds several seats
+                        seen.add(id(a))
+                        a.on_move(actions, next_canon)
             ends = np.asarray(self.ends(states))
             newly = ends.any(1) & ~done
             outcomes[newly] = ends[newly]
@@ -153,6 +164,49 @@ def make_search_agent(search_fn, params_bundle, temp: float = 0.0) -> Agent:
         g = jax.random.gumbel(key, res.counts.shape)
         return jnp.argmax(logits + g, axis=-1)
     return agent
+
+
+class ReusingAgent:
+    """Arena agent with CROSS-MOVE TREE REUSE: keeps one array tree for the
+    whole game (all seats), searching from it on its own turns and
+    re-rooting on every move played — the batched analog of the reference's
+    pit players whose MCTS dict persists across moves (MCTS.py:27-36,
+    pit.py:50-61).  Built from ``mcts.build_reusing_search``; requires the
+    owning ``BatchArena.play`` loop, which calls ``on_move`` after every
+    step (including the opponent's).
+
+    Per-board validation inside ``reroot`` falls back to a fresh root
+    whenever the stored child state mismatches the real next state (chance
+    draw diverged), so reuse is exactly as safe as the reference's
+    state-bytes dict hit."""
+
+    def __init__(self, reusing_search, bundle, temp: float = 0.0):
+        self.rs = reusing_search
+        self.bundle = bundle
+        self.temp = temp
+        self.tree = None
+        self.n = None
+        self._run = jax.jit(self.rs.run)
+        self._reroot = jax.jit(self.rs.reroot)
+        self._init = jax.jit(self.rs.init_tree)
+
+    def reset(self):
+        self.tree = None
+
+    def __call__(self, canon, key):
+        if self.tree is None:
+            self.tree, self.n = self._init(canon)
+        res, self.tree, self.n = self._run(self.bundle, self.tree, self.n,
+                                           key)
+        if self.temp <= 1e-6:
+            return jnp.argmax(res.counts, axis=-1)
+        logits = jnp.log(jnp.maximum(res.counts, 1e-12)) / self.temp
+        g = jax.random.gumbel(key, res.counts.shape)
+        return jnp.argmax(logits + g, axis=-1)
+
+    def on_move(self, actions, next_canon):
+        if self.tree is not None:
+            self.tree, self.n = self._reroot(self.tree, actions, next_canon)
 
 
 def make_random_agent(valids_fn) -> Agent:

@@ -146,3 +146,26 @@ def test_selfplay_engine_with_reuse_produces_clean_targets():
     valids = np.asarray(it.valids)
     assert float((pi * ~valids).sum()) < 1e-4
     assert np.allclose(pi.sum(1), 1.0, atol=1e-2)
+
+
+def test_reusing_arena_agent_plays_full_games(setup):
+    """ReusingAgent in the BatchArena: one tree follows the whole game
+    (rerooted on every move incl. the opponent's), games complete, and the
+    carried tree actually hits (n > 1 on at least one board after the
+    opening exchange) — the batched analog of the reference pit player's
+    persistent MCTS (MCTS.py:27-36)."""
+    from alphazero_tpu.eval import arena as AR
+
+    cfg, step_fn, rs = setup
+    arena = AR.BatchArena(cfg, 3)
+    reuse_agent = AR.ReusingAgent(rs, None)
+    fresh_search = jax.jit(M.build_search(
+        M.MCTSConfig(num_sims=40), 2,
+        A.make_uniform_eval_fn(cfg), step_fn, A.make_valid_fn(cfg)))
+    fresh_agent = AR.make_search_agent(fresh_search, None)
+    res = arena.play([reuse_agent, fresh_agent], jax.random.PRNGKey(5))
+    assert res.outcomes.shape == (3, 2)
+    assert (np.abs(res.outcomes).sum(1) > 0).all()     # every game decided
+    # the agent's tree survived the game and carried nodes at least once
+    assert reuse_agent.tree is not None
+    assert int(np.asarray(reuse_agent.n).max()) >= 1
