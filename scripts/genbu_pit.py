@@ -40,7 +40,8 @@ def main():
 
     env_cfg = E.SplendorConfig(num_players=2)
     net_cfg = A.net_config_for(env_cfg)
-    genbu_bundle = TI.load_as_bundle(GENBU, net_cfg)
+    g_params, g_stats, _meta = TI.load_as_bundle(GENBU, net_cfg)
+    genbu_bundle = (g_params, g_stats)
 
     p0, _ = N.init_params(net_cfg, jax.random.PRNGKey(0))
     ck = CKPT.load_network(ours_dir, "best.pt", p0)
