@@ -93,3 +93,21 @@ def test_bf16_stats_guard_rejects_large_trees():
             M.MCTSConfig(num_sims=400, stats_dtype="bfloat16"),
             2, A.make_eval_fn(net_cfg),
             A.make_search_step_fn(env_cfg), A.make_valid_fn(env_cfg))
+
+
+def test_auto_stats_dtype_resolves_f32_on_cpu_and_guards_reuse():
+    """'auto' must fall back to float32 off-TPU (counts tests rely on it),
+    and explicit bfloat16 must be rejected for reuse trees of ANY size:
+    a carried root's Ns grows past bf16's exact-integer range (256), where
+    +1 increments silently vanish."""
+    env_cfg = E.SplendorConfig(num_players=2)
+    net_cfg = A.net_config_for(env_cfg)
+    # auto on CPU -> builds fine (resolves f32; bf16 would need TPU)
+    M.build_search(M.MCTSConfig(num_sims=300, stats_dtype="auto"), 2,
+                   A.make_eval_fn(net_cfg), A.make_search_step_fn(env_cfg),
+                   A.make_valid_fn(env_cfg))
+    with pytest.raises(ValueError, match="bfloat16"):
+        M.build_reusing_search(
+            M.MCTSConfig(num_sims=16, stats_dtype="bfloat16"), 2,
+            A.make_eval_fn(net_cfg), A.make_search_step_fn(env_cfg),
+            A.make_valid_fn(env_cfg), keep_cap=16)
