@@ -148,6 +148,23 @@ class MCTSConfig:
     # bfloat16 exactly when those bounds hold on a TPU backend, float32
     # otherwise.  Q-precision parity: tests/test_mcts_bf16.py.
     stats_dtype: str = "auto"
+    # Staged tree-capacity schedule for FRESH searches ("auto" | "off" |
+    # comma-separated sim counts, e.g. "16,48").  After i sims a fresh tree
+    # holds only i+1 nodes, yet the backup's cost is linear in the FULL
+    # capacity M (dense stats read+write plus the one-hot einsum's M-wide
+    # output) — so the sim loop is split into stages whose capacity grows
+    # with the node count: first s1 sims on an (s1+1)-node tree, then the
+    # arrays are zero-padded and the loop continues.  Semantically EXACT
+    # (the padded rows are the same never-referenced zeros; the Dirichlet
+    # root refresh runs only in stage 1; forced playouts see the GLOBAL sim
+    # index; PCR pruning uses total sims) — locked by
+    # tests/test_mcts_staged.py.  "auto": doubling schedule from 16 when
+    # num_sims >= 64.  Measured on healthy v5e (round 5,
+    # bench_out/staged_ab.json): 159.2k -> 181.8k rollouts/s at B=1024/S=64
+    # (schedule 16,16,32) and 93.1k -> 110.1k at B=256/S=128 (16,16,32,64).
+    # "off": single full-capacity stage.  Only build_search honors this —
+    # reusing searches carry nodes across moves and always run full-size.
+    stage_sims: str = "auto"
 
 
 class Tree(NamedTuple):
@@ -529,11 +546,25 @@ def _backprop_fused(tree: Tree, path_p, path_a, path_r, depth, value_vec,
 
 
 def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
-                step_fn: StepFn, valid_fn, keep_cap: int):
+                step_fn: StepFn, valid_fn, keep_cap: int, *,
+                total_sims: int | None = None, continue_tree: bool = False,
+                sim_offset: int = 0, staged: bool = False):
     """Shared search core over a caller-provided tree with per-board node
-    counts ``n0`` (1 == fresh root-only tree)."""
+    counts ``n0`` (1 == fresh root-only tree).
+
+    Staging hooks (all trace-time constants; see ``MCTSConfig.stage_sims``):
+    ``total_sims`` is the WHOLE search budget when this core runs only one
+    stage of it (PCR pruning and the bf16 visit-count bound are functions of
+    the total, not the stage); ``continue_tree`` skips the root
+    prior/noise/scalar refresh (the tree already carries them from stage 1);
+    ``sim_offset`` is the number of sims already run, added to the loop
+    index wherever the GLOBAL sim index is meant (forced playouts);
+    ``staged`` marks keep_cap as "head-room for earlier stages of the same
+    fresh search" rather than carried reuse nodes, which keeps bf16 stats
+    legal (visit counts stay bounded by total_sims)."""
     cfg = mcts_cfg
     S = cfg.num_sims
+    TS = total_sims if total_sims is not None else S
     M = S + keep_cap + 1
     P = num_players
     PL = min(M - 1, cfg.max_depth) if cfg.max_depth > 0 else M - 1
@@ -543,12 +574,13 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
         # <= 256 on a fresh tree; carried reuse roots accumulate Ns without
         # bound (bf16 +1 increments vanish past 256), so reuse keeps f32
         sdt = (jnp.dtype(jnp.bfloat16)
-               if (jax.default_backend() == "tpu" and M <= 256
-                   and keep_cap == 0)
+               if (jax.default_backend() == "tpu" and M <= 256 and TS <= 256
+                   and (keep_cap == 0 or staged))
                else jnp.dtype(jnp.float32))
     else:
         sdt = jnp.dtype(cfg.stats_dtype)
-    if sdt == jnp.bfloat16 and (M > 256 or keep_cap > 0):
+    if sdt == jnp.bfloat16 and (M > 256 or TS > 256
+                                or (keep_cap > 0 and not staged)):
         raise ValueError(
             f"stats_dtype=bfloat16 stores visit counts and the sign-packed "
             f"child pointers exactly only up to 256 on a FRESH tree, but "
@@ -598,30 +630,40 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
         pi0, v0 = eval_fn(params, roots.astype(jnp.float32), root_valid)
         pi0 = _normalize_masked(pi0, root_valid)
 
-        if cfg.add_noise:
-            if cfg.prior_temp != 1.0:
-                pi0 = _normalize_masked(pi0 ** (1.0 / cfg.prior_temp),
-                                        root_valid)
-            g = jax.random.gamma(rng, cfg.dirichlet_alpha, (B, A))
-            noise = _normalize_masked(g, root_valid)
-            pi0 = _normalize_masked(
-                (1.0 - cfg.dirichlet_frac) * pi0 + cfg.dirichlet_frac * noise,
-                root_valid)
+        if continue_tree:
+            # staged continuation within one search call: the root row
+            # (priors + noise + N/V scalars) is already exactly as stage 1
+            # left it — any rewrite here would double-apply noise.  v0 is
+            # still recomputed above (deterministic, same params/roots) so
+            # the final stage's SearchResult.root_value matches stage 1's.
+            pass
+        else:
+            if cfg.add_noise:
+                if cfg.prior_temp != 1.0:
+                    pi0 = _normalize_masked(pi0 ** (1.0 / cfg.prior_temp),
+                                            root_valid)
+                g = jax.random.gamma(rng, cfg.dirichlet_alpha, (B, A))
+                noise = _normalize_masked(g, root_valid)
+                pi0 = _normalize_masked(
+                    (1.0 - cfg.dirichlet_frac) * pi0
+                    + cfg.dirichlet_frac * noise,
+                    root_valid)
 
-        # root prior row is always refreshed (new priors + noise, reference
-        # MCTS.py:150-153); carried roots keep their N/V scalars and edge
-        # stats, fresh roots (n0 == 1) get the NN value as initial value sum
-        carried = n0 > 1
-        root_nn = jnp.where(carried, tree.stats[:, 0, _EN, A]
-                            .astype(jnp.float32), 0.0)
-        root_nv = jnp.where(carried, tree.stats[:, 0, _EW, A]
-                            .astype(jnp.float32), v0[:, 0])
-        tree = tree._replace(
-            stats=tree.stats.at[:, 0, _PVALID, :A].set(
-                _pack_pvalid(pi0, root_valid).astype(sdt))
-            .at[:, 0, _EN, A].set(root_nn.astype(sdt))
-            .at[:, 0, _EW, A].set(root_nv.astype(sdt)),
-        )
+            # root prior row is always refreshed (new priors + noise,
+            # reference MCTS.py:150-153); carried roots keep their N/V
+            # scalars and edge stats, fresh roots (n0 == 1) get the NN value
+            # as initial value sum
+            carried = n0 > 1
+            root_nn = jnp.where(carried, tree.stats[:, 0, _EN, A]
+                                .astype(jnp.float32), 0.0)
+            root_nv = jnp.where(carried, tree.stats[:, 0, _EW, A]
+                                .astype(jnp.float32), v0[:, 0])
+            tree = tree._replace(
+                stats=tree.stats.at[:, 0, _PVALID, :A].set(
+                    _pack_pvalid(pi0, root_valid).astype(sdt))
+                .at[:, 0, _EN, A].set(root_nn.astype(sdt))
+                .at[:, 0, _EW, A].set(root_nv.astype(sdt)),
+            )
         # Path buffers stay PL wide even under a depth cap: measured on v5e,
         # shrinking the backup einsum's contraction (path-level axis) made
         # the whole search SLOWER (e.g. D=24: 477ms vs 366ms at B=1024/S=64)
@@ -632,8 +674,12 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
         path_r0 = jnp.zeros((B, PL), jnp.int32)
 
         def sim_body(i, tree):
+            # forced playouts key on the GLOBAL sim index (reference
+            # MCTS.py:199-219 uses the root visit total); under staging the
+            # loop index restarts per stage, so the offset restores it
             (parent, action, existing, depth, parent_rot, path_p, path_a,
-             path_r) = _select(cfg, tree, i, path_p0, path_a0, path_r0, PL)
+             path_r) = _select(cfg, tree, i + sim_offset, path_p0, path_a0,
+                               path_r0, PL)
             fresh = existing == 0
             slot_b = n0 + i                       # per-board node id [B]
 
@@ -686,10 +732,11 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
 
         out_counts = counts.astype(jnp.float32)
         if cfg.forced_playouts:
-            # policy target pruning (reference MCTS.py:69-74)
+            # policy target pruning (reference MCTS.py:69-74); TS is the
+            # WHOLE search budget even when this core ran only the last stage
             best = counts.max(axis=1, keepdims=True)
             pruned = counts - jnp.floor(
-                jnp.sqrt(cfg.k_forced * root_prior * S)).astype(jnp.int32)
+                jnp.sqrt(cfg.k_forced * root_prior * TS)).astype(jnp.int32)
             adj = jnp.where(counts == best, counts, pruned)
             out_counts = jnp.where(adj > 1, adj, 0).astype(jnp.float32)
             # low-sim edge case: if pruning zeroed every edge (all raw
@@ -706,19 +753,103 @@ def _build_core(mcts_cfg: MCTSConfig, num_players: int, eval_fn: EvalFn,
     return init_tree, core, M
 
 
+def _resolve_stage_schedule(cfg: MCTSConfig):
+    """Parse ``cfg.stage_sims`` into a per-stage sim-count tuple or None.
+
+    "auto" builds a doubling schedule from 16 (16, 16, 32, 64, ... with the
+    remainder folded into the last stage) once num_sims >= 64 — below that
+    the full tree is already small enough that stage-transition overhead
+    (array pad + an extra dispatch chain) eats the bandwidth saving."""
+    spec = str(cfg.stage_sims or "off").strip().lower()
+    if spec == "off" or cfg.max_depth > 0:
+        # a depth cap already changes PL; keep the staged/capped interaction
+        # out of scope (the cap default is 0/off)
+        return None
+    if spec == "auto":
+        S = cfg.num_sims
+        if S < 64:
+            return None
+        sched, done, step = [], 0, 16
+        while done + step < S:
+            sched.append(step)
+            done += step
+            if len(sched) >= 2:
+                step *= 2
+        sched.append(S - done)
+        return tuple(sched)
+    parts = tuple(int(x) for x in spec.split(","))
+    if any(p <= 0 for p in parts) or sum(parts) != cfg.num_sims:
+        raise ValueError(
+            f"stage_sims={spec!r}: entries must be positive and sum to "
+            f"num_sims={cfg.num_sims}")
+    return parts if len(parts) > 1 else None
+
+
+def _grow_tree(tree: Tree, new_m: int) -> Tree:
+    """Zero-pad a tree's node axis to capacity ``new_m`` (stage transition).
+    Padded stats rows get the same empty-row init as ``empty_tree`` (priors
+    -1 on the action columns); states/parent pad with zeros."""
+    B, M, _, A2 = tree.stats.shape
+    pad = new_m - M
+    R, C = tree.states.shape[2:]
+    sdt = tree.stats.dtype
+    empty = jnp.zeros((B, pad, 4, A2), sdt).at[:, :, _PVALID, :A2 - 2].set(-1.0)
+    return Tree(
+        states=jnp.concatenate(
+            [tree.states, jnp.zeros((B, pad, R, C), jnp.int8)], axis=1),
+        stats=jnp.concatenate([tree.stats, empty], axis=1),
+        parent=jnp.concatenate(
+            [tree.parent, jnp.zeros((B, pad), jnp.int32)], axis=1),
+    )
+
+
 def build_search(mcts_cfg: MCTSConfig, num_players: int,
                  eval_fn: EvalFn, step_fn: StepFn, valid_fn):
     """Returns ``search(params, roots [B,R,7] int8, rng) -> SearchResult`` —
     a fresh tree per call (no cross-move reuse).
 
     ``eval_fn(params, states, valids)`` must return normalized masked policy
-    probabilities and per-seat values in the state's own frame."""
-    init_tree, core, _ = _build_core(mcts_cfg, num_players, eval_fn, step_fn,
-                                     valid_fn, keep_cap=0)
+    probabilities and per-seat values in the state's own frame.
+
+    When ``cfg.stage_sims`` resolves to a schedule, the sim loop runs as
+    successive stages with growing tree capacity (see the config field doc);
+    each stage is a separate ``_build_core`` whose keep_cap reserves exactly
+    the rows earlier stages filled.  Stage results other than the last are
+    discarded, so XLA dead-code-eliminates their root evals; only the final
+    stage's SearchResult (built on the full tree) is returned."""
+    schedule = _resolve_stage_schedule(mcts_cfg)
+    if not schedule:
+        init_tree, core, _ = _build_core(mcts_cfg, num_players, eval_fn,
+                                         step_fn, valid_fn, keep_cap=0)
+
+        def search(params, roots, rng):
+            tree, n0 = init_tree(roots)
+            result, _, _ = core(params, tree, n0, rng)
+            return result
+
+        return search
+
+    total = mcts_cfg.num_sims
+    stages = []
+    done = 0
+    init_tree0 = None
+    for i, s in enumerate(schedule):
+        scfg = dataclasses.replace(mcts_cfg, num_sims=s)
+        init_i, core_i, m_i = _build_core(
+            scfg, num_players, eval_fn, step_fn, valid_fn, keep_cap=done,
+            total_sims=total, continue_tree=(i > 0), sim_offset=done,
+            staged=True)
+        if i == 0:
+            init_tree0 = init_i
+        stages.append((core_i, m_i))
+        done += s
 
     def search(params, roots, rng):
-        tree, n0 = init_tree(roots)
-        result, _, _ = core(params, tree, n0, rng)
+        tree, n = init_tree0(roots)
+        result, tree, n = stages[0][0](params, tree, n, rng)
+        for core_i, m_i in stages[1:]:
+            tree = _grow_tree(tree, m_i)
+            result, tree, n = core_i(params, tree, n, rng)
         return result
 
     return search
