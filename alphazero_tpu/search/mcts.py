@@ -761,9 +761,7 @@ def _resolve_stage_schedule(cfg: MCTSConfig):
     the full tree is already small enough that stage-transition overhead
     (array pad + an extra dispatch chain) eats the bandwidth saving."""
     spec = str(cfg.stage_sims or "off").strip().lower()
-    if spec == "off" or cfg.max_depth > 0:
-        # a depth cap already changes PL; keep the staged/capped interaction
-        # out of scope (the cap default is 0/off)
+    if spec == "off":
         return None
     if spec == "auto":
         S = cfg.num_sims

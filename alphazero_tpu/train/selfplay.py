@@ -63,6 +63,12 @@ class SelfPlayConfig:
     # bfloat16 on TPU for fresh trees with capacity <= 256 (the production
     # S=128 shape), float32 otherwise (incl. all reuse trees)
     stats_dtype: str = "auto"
+    # staged tree-capacity schedule for the fresh-tree searches (see
+    # MCTSConfig.stage_sims; composes exactly with max_depth).  "auto"
+    # resolves to the doubling schedule on the full search (S>=64) and
+    # leaves the fast search single-stage; ignored when tree_reuse is on
+    # (reusing searches always run full-size)
+    stage_sims: str = "auto"
     # --- class-2 reuse-corruption investigation levers (docs/PERF.md) ---
     # donate the fused-chunk carry (tree buffers reused in place by XLA);
     # False forces fresh output buffers every chunk call
@@ -93,11 +99,12 @@ class SelfPlayEngine:
             num_sims=cfg.num_sims, cpuct=cfg.cpuct, fpu=cfg.fpu,
             forced_playouts=cfg.forced_playouts, add_noise=True,
             dirichlet_alpha=cfg.dirichlet_alpha, prior_temp=cfg.prior_temp,
-            max_depth=cfg.max_depth, stats_dtype=cfg.stats_dtype)
+            max_depth=cfg.max_depth, stats_dtype=cfg.stats_dtype,
+            stage_sims=cfg.stage_sims)
         fast = M.MCTSConfig(
             num_sims=max(cfg.num_sims // cfg.ratio_full, 2),
             cpuct=cfg.cpuct, fpu=cfg.fpu, max_depth=cfg.max_depth,
-            stats_dtype=cfg.stats_dtype)
+            stats_dtype=cfg.stats_dtype, stage_sims=cfg.stage_sims)
         ecfg = env_cfg
 
         def _init_batch(key):

@@ -70,9 +70,6 @@ def test_auto_schedule_shape():
     assert M._resolve_stage_schedule(M.MCTSConfig(num_sims=48)) is None
     assert M._resolve_stage_schedule(
         M.MCTSConfig(num_sims=64, stage_sims="off")) is None
-    # a depth cap disables staging (interaction kept out of scope)
-    assert M._resolve_stage_schedule(
-        M.MCTSConfig(num_sims=64, max_depth=8)) is None
     with pytest.raises(ValueError):
         M._resolve_stage_schedule(M.MCTSConfig(num_sims=64, stage_sims="16,16"))
 
@@ -80,4 +77,16 @@ def test_auto_schedule_shape():
 def test_staged_respects_unroll(setup):
     base = M.MCTSConfig(num_sims=64, stage_sims="off", descent_unroll=2)
     staged = dataclasses.replace(base, stage_sims="auto")
+    _assert_same(_run(setup, staged), _run(setup, base))
+
+
+def test_staged_with_depth_cap(setup):
+    """Depth-cap composition: a stage's path buffer is min(M_i-1, cap); the
+    cap can never bind before the stage's natural depth bound (a tree with
+    n nodes has descents of at most n edges), so staged+capped must equal
+    unstaged+capped exactly — the production self-play configuration
+    (S=128, max_depth=64) relies on this."""
+    base = M.MCTSConfig(num_sims=96, stage_sims="off", max_depth=24,
+                        fpu=0.0)
+    staged = dataclasses.replace(base, stage_sims="16,16,32,32")
     _assert_same(_run(setup, staged), _run(setup, base))
