@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="tree_reuse", default=False,
                    help="cross-move MCTS tree carryover in self-play "
                         "(default off; see docs/PERF.md)")
+    p.add_argument("--stage-sims", type=str, default="auto", dest="stage_sims",
+                   help="staged tree-capacity schedule for fresh searches: "
+                        "'auto' (doubling from 16, +14-18%% measured), 'off', "
+                        "or comma-separated sim counts summing to num_sims "
+                        "(bit-exact either way; docs/PERF.md)")
     p.add_argument("--val-split", type=float, default=0.0, dest="val_split",
                    help="held-out validation fraction of the replay buffer "
                         "(reference GenericNNetWrapper.py:108-137)")
@@ -121,6 +126,7 @@ def args_to_config(args) -> CoachConfig:
         surprise_weight=args.surprise_weight,
         val_split=args.val_split,
         tree_reuse=args.tree_reuse,
+        stage_sims=args.stage_sims,
         nn_version=args.nn_version,
         history=args.numItersHistory,
         update_threshold=args.updateThreshold,

@@ -70,6 +70,8 @@ class CoachConfig:
     prior_temp: float = 1.25
     tree_reuse: bool = False             # cross-move tree carryover (see
                                          # docs/PERF.md before enabling on TPU)
+    stage_sims: str = "auto"             # staged tree-capacity schedule for
+                                         # fresh searches (MCTSConfig.stage_sims)
     # training
     learn_rate: float = 3e-4
     vl_weight: float = 10.0
@@ -164,7 +166,7 @@ class Coach:
             temp_threshold=cfg.temp_threshold, cpuct=cfg.cpuct, fpu=cfg.fpu,
             forced_playouts=cfg.forced_playouts,
             dirichlet_alpha=cfg.dirichlet_alpha, prior_temp=cfg.prior_temp,
-            tree_reuse=cfg.tree_reuse)
+            tree_reuse=cfg.tree_reuse, stage_sims=cfg.stage_sims)
         self.selfplay = SP.SelfPlayEngine(self.env_cfg, self.eval_fn, sp_cfg,
                                           mesh=self.mesh)
 
