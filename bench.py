@@ -178,6 +178,8 @@ def main():
         "batch": batch,
         "sims": sims,
         "degraded": degraded,
+        "stage_schedule": list(M._resolve_stage_schedule(
+            M.MCTSConfig(num_sims=sims)) or ()),
         "pin_matmul_tflops": tflops,
         "pin_hbm_gbps": gbps,
         "pins_method": "marginal-slope-v2",
